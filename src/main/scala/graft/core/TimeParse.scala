@@ -1,0 +1,105 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** strptime-subset → Spark timestamp parsing.
+  *
+  * The reference parses record time with `strptime` plus three quirks
+  * (reference `src/flb_parser.c:610-719`):
+  *   1. a format without `%Y` gets the CURRENT year injected
+  *      (`flb_parser.c:640-672`) — non-deterministic; here the injected
+  *      year is a pinned reference year (tests pin 2017, matching the
+  *      reference's internal test vectors `tests/internal/parser.c:55-99`);
+  *   2. fractional seconds `%L` are hand-parsed (`flb_parser.c:679-709`);
+  *   3. `%z` accepts ±HH:MM, ±HHMM and `Z` (`flb_parser.c:562-608`), or a
+  *      fixed `Time_Offset` config.
+  *
+  * Everything compiles to built-in column expressions (`to_timestamp`,
+  * `regexp_extract`, `timestampadd`) — codegen'd, no UDF.
+  */
+object TimeParse {
+
+  /** Pinned "current year" for no-%Y formats — determinism over wall clock. */
+  val RefYear = 2017
+
+  // permissive single-letter day/hour/min/sec variants: strptime accepts
+  // both zero- and space-padded fields (syslog "%b %d" emits "Feb  6")
+  private val strpMap: Seq[(String, String)] = Seq(
+    "%Y" -> "yyyy", "%m" -> "M", "%d" -> "d", "%e" -> "d",
+    "%H" -> "H", "%M" -> "m", "%S" -> "s", "%b" -> "MMM",
+    "%B" -> "MMMM", "%y" -> "yy", "%j" -> "D",
+    "%T" -> "H:m:s", "%z" -> "xx", "%Z" -> "zz"
+  )
+
+  /** Translate a strptime format to a Spark datetime pattern. `%L` must be
+    * stripped by the caller (handled via fraction arithmetic).
+    */
+  def toSparkPattern(fmt: String): String = {
+    // Escape pattern-letter literals (T etc.) by quoting every run of
+    // characters that is not a %-directive or separator.
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val d = fmt.substring(i, i + 2)
+        strpMap.find(_._1 == d) match {
+          case Some((_, sp)) => out.append(sp)
+          case None          => out.append(d.charAt(1)) // unknown directive: literal
+        }
+        i += 2
+      } else {
+        val c = fmt.charAt(i)
+        if (c.isLetter) out.append('\'').append(c).append('\'')
+        else out.append(c)
+        i += 1
+      }
+    }
+    out.toString.replace("''", "") // merge adjacent quoted literals
+  }
+
+  /** Parse `raw` with strptime format `fmt`.
+    *
+    * @param fmt       strptime format, possibly containing `%L` and/or
+    *                  lacking `%Y`.
+    * @param tzOffsetSec fixed UTC offset seconds applied when the format
+    *                  carries no `%z` (reference `Time_Offset`,
+    *                  `flb_parser.c:588-608`); 0 = UTC.
+    * @return TimestampType column (µs precision — the reference carries ns,
+    *         see SURVEY §1.3; µs is Spark's native resolution and the
+    *         fixtures use ≤ms).
+    */
+  def parse(raw: Column, fmt: String, tzOffsetSec: Int = 0): Column = {
+    val hasYear = fmt.contains("%Y") || fmt.contains("%y")
+    val hasFrac = fmt.contains("%L")
+    val hasTz = fmt.contains("%z")
+
+    // 1. normalize the raw string: collapse multi-space (rfc3164 day
+    //    padding), normalize tz ±HH:MM → ±HHMM and trailing Z → +0000.
+    var s = regexp_replace(raw, "  +", " ")
+    if (hasTz) {
+      s = regexp_replace(s, "([+-]\\d{2}):(\\d{2})$", "$1$2")
+      s = regexp_replace(s, "Z$", "+0000")
+    }
+    // 2. fractional seconds: pull out and strip
+    val frac =
+      if (hasFrac) coalesce(regexp_extract(s, "\\.(\\d+)", 1).cast("string"), lit(""))
+      else lit("")
+    if (hasFrac) s = regexp_replace(s, "\\.\\d+", "")
+
+    // 3. year injection for no-%Y formats
+    val (fmt2, s2) =
+      if (hasYear) (fmt, s)
+      else ("%Y " + fmt, concat(lit(s"$RefYear "), s))
+    val pattern = toSparkPattern(fmt2.replace(".%L", "").replace("%L", ""))
+
+    val base = to_timestamp(s2, pattern)
+    val shifted =
+      if (hasTz || tzOffsetSec == 0) base
+      else timestamp_micros(unix_micros(base) - tzOffsetSec * 1000000L)
+    if (hasFrac) {
+      val micros = (concat(lit("0."), when(frac === "", "0").otherwise(frac)).cast("double") * 1000000L).cast("long")
+      timestamp_micros(unix_micros(shifted) + micros)
+    } else shifted
+  }
+}

@@ -1,0 +1,157 @@
+package graft.parsers
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.TimeParse
+import graft.functions.RegexExtractStruct
+
+/** Parser definitions — the Spark restatement of the reference's parser
+  * subsystem (struct at `include/fluent-bit/flb_parser.h:39-61`, loader
+  * `src/flb_parser.c:94-254`). A parser is (format, pattern, time handling,
+  * type casts); applied to a string column it yields a typed struct plus an
+  * event timestamp.
+  *
+  * The regex corpus mirrors the shipped `conf/parsers.conf` definitions
+  * (semantics verified Onigmo→java.util.regex compatible per SURVEY §7.5.5;
+  * `/pat/` slash-trimming of the loader, `src/flb_regex.c:72-76`, is
+  * reproduced in [[ParserDef.cleanRegex]]).
+  */
+sealed trait ParserFormat
+case object RegexFormat extends ParserFormat
+case object JsonFormat extends ParserFormat
+
+final case class ParserDef(
+    name: String,
+    format: ParserFormat,
+    regex: String = "",
+    timeKey: Option[String] = None,
+    timeFormat: Option[String] = None,
+    timeKeep: Boolean = false,
+    timeOffsetSec: Int = 0,
+    // key -> integer|float|bool|hex|string (reference `flb_parser.c:301-353`)
+    types: Map[String, String] = Map.empty,
+    // flat JSON schema for Format json (schema-on-read projection)
+    jsonSchema: Option[StructType] = None
+) {
+  def cleanRegex: String = {
+    // the reference loader strips surrounding slashes (`flb_regex.c:72-76`)
+    val r = regex.trim
+    if (r.length > 1 && r.startsWith("/") && r.endsWith("/")) r.substring(1, r.length - 1)
+    else r
+  }
+
+  def groupNames: Seq[String] = RegexExtractStruct.groupNamesOf(cleanRegex)
+
+  /** Cast a parsed (string) field per `Types`. Cast failure keeps the
+    * string? — the reference falls back to the ORIGINAL string with a
+    * warning (`flb_parser.c:827-831`); in a fixed-schema world the field
+    * is typed, so failures become null (`try_cast` semantics), the
+    * documented deviation.
+    */
+  def castField(c: Column, key: String): Column = types.get(key) match {
+    case Some("integer") => c.cast("long")
+    case Some("float")   => c.cast("double")
+    case Some("bool")    => lower(c).startsWith("true")
+    case Some("hex")     => conv(c, 16, 10).cast("long")
+    case _               => c
+  }
+
+  def fieldType(key: String): DataType = types.get(key) match {
+    case Some("integer") => LongType
+    case Some("float")   => DoubleType
+    case Some("bool")    => BooleanType
+    case Some("hex")     => LongType
+    case _               => StringType
+  }
+
+  /** Parse `raw` → struct column with `Types` casts applied and (unless
+    * `timeKeep`) the time key dropped — mirroring `flb_parser_do`
+    * (`src/flb_parser.c:545-559`) + in-place time-key removal
+    * (`flb_parser_regex.c:166-183`).
+    */
+  def parsed(raw: Column): Column = format match {
+    case RegexFormat =>
+      val st = RegexExtractStruct(raw, cleanRegex)
+      val keep = groupNames.filter(g => timeKeep || !timeKey.contains(g))
+      when(st.isNotNull,
+        struct(keep.map(g => castField(st.getField(g), g).as(g)): _*))
+    case JsonFormat =>
+      val schema = jsonSchema.getOrElse(
+        throw new IllegalArgumentException(s"parser $name: json format needs jsonSchema"))
+      val st = from_json(raw, schema)
+      val keep = schema.fieldNames.filter(f => timeKeep || !timeKey.contains(f)).toSeq
+      when(st.isNotNull,
+        struct(keep.map(f => st.getField(f).as(f)): _*))
+  }
+
+  /** Event-time column extracted per Time_Key/Time_Format (null when the
+    * parse missed or the parser has no time config).
+    */
+  def eventTime(raw: Column): Column = (timeKey, timeFormat) match {
+    case (Some(tk), Some(tf)) =>
+      val timeStr = format match {
+        case RegexFormat => RegexExtractStruct(raw, cleanRegex).getField(tk)
+        case JsonFormat  => get_json_object(raw, s"$$.$tk")
+      }
+      TimeParse.parse(timeStr, tf, timeOffsetSec)
+    case _ => lit(null).cast(TimestampType)
+  }
+}
+
+object Parsers {
+  // conf/parsers.conf:1-7
+  val apache = ParserDef(
+    name = "apache",
+    format = RegexFormat,
+    regex = "^(?<host>[^ ]*) [^ ]* (?<user>[^ ]*) \\[(?<time>[^\\]]*)\\] \"(?<method>\\S+)(?: +(?<path>[^\\\"]*?)(?: +\\S*)?)?\" (?<code>[^ ]*) (?<size>[^ ]*)(?: \"(?<referer>[^\\\"]*)\" \"(?<agent>[^\\\"]*)\")?$",
+    timeKey = Some("time"),
+    timeFormat = Some("%d/%b/%Y:%H:%M:%S %z"),
+    types = Map("code" -> "integer", "size" -> "integer")
+  )
+
+  // conf/parsers.conf:51-58
+  val syslogRfc5424 = ParserDef(
+    name = "syslog-rfc5424",
+    format = RegexFormat,
+    regex = "^\\<(?<pri>[0-9]{1,5})\\>1 (?<time>[^ ]+) (?<host>[^ ]+) (?<ident>[^ ]+) (?<pid>[-0-9]+) (?<msgid>[^ ]+) (?<extradata>(\\[(.*)\\]|-)) (?<message>.+)$",
+    timeKey = Some("time"),
+    timeFormat = Some("%Y-%m-%dT%H:%M:%S.%L"),
+    timeKeep = true,
+    types = Map("pri" -> "integer")
+  )
+
+  // conf/parsers.conf:59-66 — NO-YEAR time format (pinned ref-year applies)
+  val syslogRfc3164Local = ParserDef(
+    name = "syslog-rfc3164-local",
+    format = RegexFormat,
+    regex = "^\\<(?<pri>[0-9]+)\\>(?<time>[^ ]* {1,2}[^ ]* [^ ]*) (?<ident>[a-zA-Z0-9_\\/\\.\\-]*)(?:\\[(?<pid>[0-9]+)\\])?(?:[^\\:]*\\:)? *(?<message>.*)$",
+    timeKey = Some("time"),
+    timeFormat = Some("%b %d %H:%M:%S"),
+    timeKeep = true
+  )
+
+  // conf/parsers.conf:84-87, same regex as kube_regex.h:26 — tag metadata extraction
+  val kubeTag = ParserDef(
+    name = "kube-custom",
+    format = RegexFormat,
+    regex = "var\\.log\\.containers\\.(?<podName>[a-z0-9]([-a-z0-9]*[a-z0-9])?(\\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_(?<namespaceName>[^_]+)_(?<containerName>.+)-(?<dockerId>[a-z0-9]{64})\\.log$"
+  )
+
+  // conf/parsers.conf:33-41 (docker): json + Time_Keep + escaped-decoder on `log`
+  val docker = ParserDef(
+    name = "docker",
+    format = JsonFormat,
+    timeKey = Some("time"),
+    timeFormat = Some("%Y-%m-%dT%H:%M:%S.%L"),
+    timeKeep = true,
+    jsonSchema = Some(StructType(Seq(
+      StructField("log", StringType), StructField("stream", StringType),
+      StructField("time", StringType))))
+  )
+
+  val all: Map[String, ParserDef] =
+    Seq(apache, syslogRfc5424, syslogRfc3164Local, kubeTag, docker)
+      .map(p => p.name -> p).toMap
+}

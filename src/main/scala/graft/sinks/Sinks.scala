@@ -1,0 +1,67 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators. Network connectors are out of scope (SURVEY §2.5);
+  * what remains is (a) per-sink file writes in the reference's three file
+  * formats, (b) the two aggregate sinks (`counter`, `flowcounter`) that
+  * form the per-sink correctness oracles, and (c) serializer transforms
+  * demonstrated by the ES output.
+  */
+object Sinks {
+
+  /** `out_counter` (`plugins/out_counter/counter.c:58-84`): running record
+    * count per sink — as a batch aggregate, `count(*)` (+ `sum(n_tok)` for
+    * the BASELINE per-sink aggregate oracle).
+    */
+  def counter(df: DataFrame, sinkCol: String = "sink"): DataFrame =
+    df.groupBy(col(sinkCol))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_tok")).as("sum_n_tok"))
+
+  /** `out_flowcounter` (`plugins/out_flowcounter/out_flowcounter.c:106-130`):
+    * tumbling-window per-tick counts and byte/row sums. `unit` follows the
+    * reference's second/minute/hour/day ticks.
+    */
+  def flowCounter(df: DataFrame, tsCol: String, unit: String,
+                  sumCol: Option[String] = None): DataFrame = {
+    val bucket = date_trunc(unit, col(tsCol)).as("wstart")
+    val aggs = count(lit(1)).as("cnt") +: sumCol.map(c => sum(col(c)).as("sum_val")).toSeq
+    df.groupBy(bucket).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `out_file` (`plugins/out_file/file.c`): per-tag files; formats json
+    * lines (`file.c:216-229`), csv (`:117-138`), ltsv (`:140-168`).
+    * Writes `partitionBy(sink)` so one job lays out every sink's directory.
+    */
+  def writeFiles(df: DataFrame, outDir: String, format: String = "json",
+                 sinkCol: String = "sink"): Unit = format match {
+    case "json" => df.write.mode("overwrite").partitionBy(sinkCol).json(outDir)
+    case "csv"  => df.write.mode("overwrite").partitionBy(sinkCol).csv(outDir)
+    case "ltsv" =>
+      // label-tab-separated: k1:v1 \t k2:v2 — text lines per record
+      val cols = df.columns.filterNot(_ == sinkCol)
+      val line = concat_ws("\t",
+        cols.map(c => concat(lit(c + ":"), col(c).cast("string"))): _*)
+      df.select(line.as("value"), col(sinkCol))
+        .write.mode("overwrite").partitionBy(sinkCol).text(outDir)
+  }
+
+  /** `out_kafka` per-record topic selection (`kafka.c:104-133`): topic =
+    * record[topicKey] if present else default.
+    */
+  def kafkaTopic(topicKeyCol: Column, defaultTopic: String): Column =
+    coalesce(topicKeyCol, lit(defaultTopic))
+
+  /** ES key sanitize: dots→underscores recursively over keys
+    * (`plugins/out_es/es.c:40-110`) — here over a map column.
+    */
+  def esSanitizeKeys(m: Column): Column =
+    transform_keys(m, (k, _) => regexp_replace(k, "\\.", "_"))
+
+  /** ES logstash-style daily index name `prefix-YYYY.MM.DD`
+    * (`es.c:245-266`).
+    */
+  def esLogstashIndex(ts: Column, prefix: String): Column =
+    concat(lit(prefix + "-"), date_format(ts, "yyyy.MM.dd"))
+}

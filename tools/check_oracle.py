@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query result
+parquet written by graft.Verify, run the corresponding oracle SQL in DuckDB
+over the same sf tables and compare (row count, column names, values after
+sorting columns by name and rows by all columns)."""
+import sys, os, json, math
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            if isinstance(v, (list, tuple)):
+                v = tuple(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out, [cols[i] for i in order]
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    res_path = f"{out_dir}/{name}"
+    if not os.path.isdir(res_path):
+        print(f"FAIL {name}: no result parquet"); fails += 1; continue
+    try:
+        got = con.execute(f"SELECT * FROM read_parquet('{res_path}/*.parquet')")
+        grows, gcols = got.fetchall(), [d[0] for d in got.description]
+        exp = con.execute(sql)
+        erows, ecols = exp.fetchall(), [d[0] for d in exp.description]
+    except Exception as e:
+        print(f"FAIL {name}: exec error: {e}"); fails += 1; continue
+    g, gc = canon(grows, gcols)
+    e, ec = canon(erows, ecols)
+    if gc != ec:
+        print(f"FAIL {name}: columns {gc} vs {ec}"); fails += 1; continue
+    if len(g) != len(e):
+        print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
+    if g != e:
+        bad = [i for i, (a, b) in enumerate(zip(g, e)) if a != b][:3]
+        print(f"FAIL {name}: value mismatch at sorted rows {bad}")
+        for i in bad[:2]:
+            print(f"   got {g[i]}\n   exp {e[i]}")
+        fails += 1
+        continue
+    print(f"OK   {name}: {len(g)} rows")
+print(f"{'ALL OK' if fails == 0 else str(fails) + ' FAILURES'}")
+sys.exit(1 if fails else 0)
