@@ -199,7 +199,96 @@ object SparkEntry {
       d.groupBy(col("text"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
         .select(col("keeper"), col("n_copies"))
-    })
+    }),
+
+    // -- MinHash signatures over token 3-shingles (8 portable hash fns)
+    "dedup_minhash" -> ((s, dir) => {
+      val t = TokenTable.fromDocuments(s, dir)
+      t.select(col("seq") +: Dedup.minhashSignature(col("tokens"), 8): _*)
+    }),
+
+    // -- MinHash LSH candidate pairs on a table with manufactured dups
+    //    (tokens of seq-seq%2 → each even/odd pair identical)
+    "dedup_lsh_pairs" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"),
+          TokenTable.tokensFor(col("doc_id") - col("doc_id") % 2).as("tokens"))
+      Dedup.lshCandidatePairs(base, "id", "tokens", numHashes = 8, rowsPerBand = 2)
+    }),
+
+    // -- SimHash (16-bit) over token ids
+    "dedup_simhash" -> ((s, dir) => {
+      val t = TokenTable.fromDocuments(s, dir)
+      t.select(col("seq"), Dedup.simhash(col("tokens"), 16).as("simhash"))
+    }),
+
+    // -- word-3-gram Jaccard components between consecutive docs
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val a = d.as("a"); val b = d.as("b")
+      val (inter, uni) = Dedup.ngramOverlap(col("a.text"), col("b.text"), 3)
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"), inter.as("inter"), uni.as("uni"))
+    }),
+
+    // -- embedding cosine between consecutive vectors (exact fp fold)
+    "sim_cosine_pairs" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("vec_id"),
+          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    }),
+
+    // -- brute-force ANN: top-5 cosine neighbors for the first 20 vectors
+    "ann_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(q, "qid", "qvec",
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")), "cid", "cvec", 5)
+    }),
+
+    // -- LSH (sign-random-projection) bucket histogram — the ANN scale path
+    "sim_srp_buckets" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      e.select(Similarity.srpBucket(col("embedding"), 8).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
+    // -- text quality components (integer-exact)
+    "text_quality" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_words"),
+        TextAnalysis.distinctWordCount(col("text")).as("n_uniq"),
+        TextAnalysis.sumWordLen(col("text")).as("sum_wlen"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stop"))
+    }),
+
+    // -- language id (marker heuristic, fixed tie order)
+    "text_langid" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("pred_lang"))
+    }),
+
+    // -- token counting: whitespace + BPE-ish regex
+    "text_tokens" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
+    }),
+
+    // -- rolling-hash document fingerprint
+    "text_fingerprint" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // -- multimodal plumbing: binary column → batched decode stub
+    "multimodal_features" -> ((s, dir) => Multimodal.featuresFrame(s, dir))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -279,6 +368,154 @@ object SparkEntry {
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
-         FROM documents GROUP BY text"""
+         FROM documents GROUP BY text""",
+
+    "dedup_minhash" -> {
+      val mh = (0 until 8).map { j =>
+        s"CASE WHEN n_tok >= 3 THEN list_min(list_transform(s, x -> (x*${2 * j + 1} + ${7919 * j}) % 1000000007)) ELSE 1000000007 END AS mh$j"
+      }.mkString(", ")
+      s"""$tokCtes, sh AS (
+           SELECT seq, n_tok,
+             CASE WHEN n_tok >= 3 THEN list_transform(range(1, CAST(n_tok AS INTEGER) - 1),
+               i -> ((CAST(tokens[i] AS BIGINT)*31 + tokens[i+1])*31 + tokens[i+2]) % 1000000007)
+             ELSE CAST([] AS BIGINT[]) END AS s
+           FROM tokseq)
+         SELECT seq, $mh FROM sh"""
+    },
+
+    "dedup_lsh_pairs" -> {
+      val mh = (0 until 8).map { j =>
+        s"list_min(list_transform(s, x -> (x*${2 * j + 1} + ${7919 * j}) % 1000000007)) AS mh$j"
+      }.mkString(", ")
+      val bandKeys = (0 until 4).map { bi =>
+        s"SELECT id, $bi AS band, ((($bi*31 + mh${2 * bi}) % 1000000007)*31 + mh${2 * bi + 1}) % 1000000007 AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      val toks = graft.sources.TokenTable.duckdbTokensFor("doc_id - doc_id % 2")
+      s"""WITH base AS (
+           SELECT doc_id AS id, $toks AS tokens,
+                  CAST(1 + (doc_id - doc_id % 2) % 64 AS INTEGER) AS n
+           FROM documents),
+         sh AS (
+           SELECT id, list_transform(range(1, n - 1),
+             i -> ((CAST(tokens[i] AS BIGINT)*31 + tokens[i+1])*31 + tokens[i+2]) % 1000000007) AS s
+           FROM base WHERE n >= 3),
+         sig AS (SELECT id, $mh FROM sh),
+         bk AS ($bandKeys)
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id"""
+    },
+
+    "dedup_simhash" ->
+      s"""$tokCtes
+         SELECT seq, CAST(list_sum(list_transform(range(0,16), b ->
+           CASE WHEN 2*list_sum(list_transform(tokens,
+             t -> ((CAST(t AS BIGINT)*2654435761) % 4294967296 >> b) & 1)) - n_tok > 0
+           THEN 1<<b ELSE 0 END)) AS BIGINT) AS simhash
+         FROM tokseq""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                 i -> concat_ws('|', string_split(text,' ')[i],
+                                     string_split(text,' ')[i+1],
+                                     string_split(text,' ')[i+2])))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+           FROM documents)
+         SELECT a.doc_id AS doc_id,
+                CAST(len(list_intersect(a.grams, b.grams)) AS INTEGER) AS inter,
+                CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS INTEGER) AS uni
+         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""",
+
+    "sim_cosine_pairs" ->
+      """WITH dotp AS (
+           SELECT a.vec_id AS vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x+y) AS d,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x,y) -> x+y) AS na2,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(b.embedding)+1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x+y) AS nb2
+           FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+         SELECT vec_id,
+                CASE WHEN sqrt(na2) > 0 AND sqrt(nb2) > 0
+                     THEN d / (sqrt(na2) * sqrt(nb2)) END AS cos
+         FROM dotp""",
+
+    "ann_topk" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(q.embedding)+1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (x,y) -> x+y)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(q.embedding)+1),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (x,y) -> x+y))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(c.embedding)+1),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (x,y) -> x+y))) AS cos
+           FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND c.vec_id != q.vec_id)
+         SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+           FROM scored) WHERE rn <= 5""",
+
+    "sim_srp_buckets" ->
+      """WITH b AS (
+           SELECT CAST(list_sum(list_transform(range(0,8), p ->
+             CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(embedding)+1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * (CAST((((p*8191 + (i-1)) * 2654435761) % 2001) - 1000 AS DOUBLE) / 1000.0))),
+               (x,y) -> x+y) > 0
+             THEN 1<<p ELSE 0 END)) AS BIGINT) AS bucket
+           FROM embeddings)
+         SELECT bucket, count(*) AS n FROM b GROUP BY bucket""",
+
+    "text_quality" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS INTEGER) AS n_words,
+           CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_uniq,
+           CAST(list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_wlen,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+           CAST(len(list_filter(string_split(text,' '),
+             w -> w IN ('the','a','an','is','are','of','and','or','to','in'))) AS INTEGER) AS n_stop
+         FROM documents""",
+
+    "text_langid" ->
+      """WITH s AS (
+           SELECT doc_id,
+             len(list_filter(string_split(text,' '), w -> lower(w) IN ('the','a','is','of','and'))) AS s_en,
+             len(list_filter(string_split(text,' '), w -> lower(w) IN ('le','la','les','et','un','une'))) AS s_fr,
+             len(list_filter(string_split(text,' '), w -> lower(w) IN ('el','los','y','que','una'))) AS s_es,
+             len(list_filter(string_split(text,' '), w -> lower(w) IN ('der','die','und','das','ein'))) AS s_de
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en,s_fr,s_es,s_de) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en,s_fr,s_es,s_de) THEN 'en'
+                WHEN s_fr = greatest(s_en,s_fr,s_es,s_de) THEN 'fr'
+                WHEN s_es = greatest(s_en,s_fr,s_es,s_de) THEN 'es'
+                ELSE 'de' END AS pred_lang
+         FROM s""",
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS INTEGER) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe
+         FROM documents""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT)*96 + ascii(w))),
+             (a,b) -> (a*31 + b) % 1000000007) AS fp
+         FROM documents""",
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+             i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS head_sum,
+           CAST((length(text)*7 + 13) % 1024 + 1 AS INTEGER) AS fake_width,
+           CAST((length(text)*13 + 7) % 1024 + 1 AS INTEGER) AS fake_height
+         FROM documents"""
   )
 }

@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One field of a [[RegexParse]]: a named capture group plus its `Types`
+  * cast (reference `src/flb_parser.c:301-353`): `string`, `integer`,
+  * `float`, `bool`, `hex`.
+  */
+final case class ParsedField(group: String, cast: String = "string") {
+  def dataType: DataType = cast match {
+    case "integer" => LongType
+    case "float"   => DoubleType
+    case "bool"    => BooleanType
+    case "hex"     => LongType
+    case _         => StringType
+  }
+}
+
+/** The full parser hot path as ONE expression: a single compiled-regex
+  * match per row producing the final TYPED struct (extraction + `Types`
+  * casts fused). This is what keeps the reference's "compile the regex
+  * once, walk the groups once" property (`src/flb_parser.c:151-158`,
+  * `src/flb_parser_regex.c:101-211`) — building the struct from N
+  * `getField` copies of a regex expression would re-run the match N times
+  * per row (visible as N `regexextractstruct` calls in the physical plan).
+  *
+  * Cast failures yield null fields (the documented deviation from the
+  * reference's keep-string-and-warn, which a fixed-width schema cannot
+  * represent; `flb_parser.c:827-831`).
+  */
+case class RegexParse(child: Expression, pattern: String, fields: Seq[ParsedField])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    StructType(fields.map(f => StructField(f.group, f.dataType, nullable = true)))
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val compiled: Pattern = Pattern.compile(pattern)
+  @transient private lazy val fieldArr: Array[ParsedField] = fields.toArray
+
+  /** Shared by interpreted eval and generated code: one find(), one pass
+    * over the groups, casts fused. Returns null when the pattern misses.
+    */
+  def convert(input: UTF8String): InternalRow = {
+    val m = compiled.matcher(input.toString)
+    if (!m.find()) return null
+    val vals = new Array[Any](fieldArr.length)
+    var i = 0
+    while (i < fieldArr.length) {
+      val g = m.group(fieldArr(i).group)
+      vals(i) =
+        if (g == null) null
+        else fieldArr(i).cast match {
+          case "integer" =>
+            try java.lang.Long.valueOf(g.trim.toLong) catch { case _: NumberFormatException => null }
+          case "float" =>
+            try java.lang.Double.valueOf(g.trim.toDouble) catch { case _: NumberFormatException => null }
+          case "bool" => java.lang.Boolean.valueOf(g.regionMatches(true, 0, "true", 0, 4))
+          case "hex" =>
+            try java.lang.Long.valueOf(java.lang.Long.parseUnsignedLong(g.trim, 16))
+            catch { case _: NumberFormatException => null }
+          case _ => UTF8String.fromString(g)
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def nullSafeEval(input: Any): Any = convert(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("parser", this, classOf[RegexParse].getName)
+    nullSafeCodeGen(ctx, ev, input => {
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow r = $ref.convert($input);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RegexParse {
+  def apply(c: Column, pattern: String, fields: Seq[ParsedField]): Column =
+    GraftShim.column(RegexParse(GraftShim.expression(c), pattern, fields))
+}

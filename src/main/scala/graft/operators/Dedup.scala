@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over
+  * pre-tokenized sequences (`tokens: array<int>`) and raw text.
+  *
+  * Scale notes (the 100 TB story):
+  *   - exact dedup shuffles (hash64, id) pairs — never full rows — then
+  *     joins survivors back (semi-join on keeper ids);
+  *   - MinHash/LSH: the signature is computed NARROW (no shuffle, pure
+  *     column expressions per row); only the exploded (band_key, id) pairs
+  *     shuffle, which is `bands × rows` small fixed-width rows; candidate
+  *     pairs come from a per-bucket self-join, never an all-pairs product;
+  *   - SimHash is a single narrow projection; near-dup search joins on the
+  *     exact 16-bit bucket (or Hamming-ball neighbors).
+  *
+  * All hash arithmetic is plain int64 math (no engine-specific hash
+  * functions) so results are reproducible across engines — the DuckDB
+  * oracles recompute them exactly.
+  */
+object Dedup {
+
+  val P: Long = 1000000007L
+
+  /** Exact dedup: one representative (min id) per identical content.
+    * Shuffle carries (key, id) only; at scale pre-hash the content column
+    * so the shuffle key is 8 bytes: `groupBy(xxhash64(content))`.
+    */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup at scale: semi-join survivors. Returns the deduplicated
+    * rows (keeper row per content hash).
+    */
+  def exactRows(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val keepers = df
+      .groupBy(xxhash64(col(contentCol)).as("_h"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("_h")
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** Token-shingle hash: s_i = ((t_i·31 + t_{i+1})·31 + t_{i+2}) mod P over
+    * 3-shingles of the token array. Engine-portable arithmetic (≤ 5·10⁷
+    * before mod — no overflow).
+    */
+  def shingles(tokens: Column): Column =
+    // guard: Spark `sequence(1, n)` turns DESCENDING for n < 1 — short rows
+    // must yield an empty shingle set, not out-of-bounds indices
+    when(size(tokens) >= 3,
+      transform(
+        sequence(lit(1), size(tokens) - 2),
+        i => ((element_at(tokens, i).cast("long") * 31L
+          + element_at(tokens, i + 1)) * 31L
+          + element_at(tokens, i + 2)) % P))
+      .otherwise(array().cast("array<long>"))
+
+  /** MinHash signature: numHashes universal-hash minima over the shingle
+    * set — h_j(s) = (s·(2j+1) + 7919·j) mod P. Null-safe: rows with fewer
+    * than 3 tokens get P (an impossible hash) in every slot.
+    */
+  def minhashSignature(tokens: Column, numHashes: Int): Seq[Column] = {
+    val sh = shingles(tokens)
+    (0 until numHashes).map { j =>
+      val a = 2L * j + 1
+      val b = 7919L * j
+      when(size(tokens) >= 3,
+        array_min(transform(sh, s => (s * a + b) % P)))
+        .otherwise(lit(P)).as(s"mh$j")
+    }
+  }
+
+  /** LSH banding: band key b = a portable combine of `rowsPerBand`
+    * consecutive signature slots. Returns array<long> of band keys.
+    */
+  def lshBandKeys(sigCols: Seq[Column], rowsPerBand: Int): Column = {
+    val bands = sigCols.grouped(rowsPerBand).toSeq
+    array(bands.zipWithIndex.map { case (slots, bi) =>
+      slots.foldLeft(lit(bi.toLong): Column)((acc, s) => (acc * 31L + s) % P)
+    }: _*)
+  }
+
+  /** Candidate near-dup pairs from MinHash LSH: explode band keys, bucket,
+    * self-join within (band index, key) buckets. Output: (idA, idB) with
+    * idA < idB, distinct. The only shuffles are the bucket exchange of
+    * (key, id) pairs and the distinct.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, tokensCol: String,
+                        numHashes: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(col(tokensCol), numHashes)
+    val keyed = df
+      .filter(size(col(tokensCol)) >= 3)
+      .select(col(idCol).as("id"), posexplode(lshBandKeys(sig, rowsPerBand)).as(Seq("band", "key")))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash over token ids (`bits`-wide): bit b set iff
+    * Σ_tokens (bit_b(h(t))·2 − 1) > 0, h(t) = t·2654435761 mod 2³².
+    * One narrow projection; near-dup lookup buckets on the value.
+    */
+  def simhash(tokens: Column, bits: Int = 16): Column = {
+    val terms = (0 until bits).map { b =>
+      val bitSum = aggregate(tokens, lit(0L),
+        (acc, t) => acc
+          + (shiftright((t.cast("long") * 2654435761L) % 4294967296L, b)
+            .bitwiseAND(1L)) * 2L - 1L)
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Word n-gram set (distinct) of a text column, '|'-joined grams. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws("|", (0 until n).map(o => element_at(words, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** n-gram Jaccard similarity components between two texts: returns
+    * (intersection size, union size) — integer-exact; callers derive the
+    * ratio. union = |A| + |B| − |A∩B|.
+    */
+  def ngramOverlap(a: Column, b: Column, n: Int): (Column, Column) = {
+    val (ga, gb) = (wordNgrams(a, n), wordNgrams(b, n))
+    val inter = size(array_intersect(ga, gb))
+    (inter, size(ga) + size(gb) - inter)
+  }
+}

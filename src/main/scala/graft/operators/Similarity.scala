@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: brute-force top-k is the exact baseline — a broadcast of
+  * the (small) query set against a full scan of candidates, embarrassingly
+  * parallel, one shuffle for the per-query top-k. The LSH (sign-random-
+  * projection) variant buckets candidates once (narrow projection), then
+  * probes only matching buckets — the 100 TB path where a full scan per
+  * query batch is too slow.
+  *
+  * Dot products fold left-to-right over the array (`aggregate`), so results
+  * are bit-reproducible across engines that fold in the same order.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a sequential left fold (deterministic fp order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity (null when either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = sqrt(norm2(a))
+    val nb = sqrt(norm2(b))
+    when(na > 0 && nb > 0, d / (na * nb))
+  }
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    *
+    * @param queries  small DataFrame (qid, qvec) — broadcast side
+    * @param cands    large DataFrame (cid, cvec) — scanned once
+    */
+  def bruteForceTopK(queries: DataFrame, qid: String, qvec: String,
+                     cands: DataFrame, cid: String, cvec: String,
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = cands.join(broadcast(queries),
+      if (excludeSelf) col(qid) =!= col(cid) else lit(true))
+    val scored = joined.withColumn("cos", cosine(col(qvec), col(cvec)))
+    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qid), col(cid), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):
+    * integer-arithmetic in [-1000, 1000] / 1000 — engine-portable, no RNG.
+    */
+  def planeWeight(p: Int, d: Column): Column =
+    ((((lit(p.toLong) * 8191L + d) * 2654435761L) % 2001L) - 1000L).cast("double") / 1000.0
+
+  /** Sign-random-projection LSH bucket id over `planes` hyperplanes:
+    * bit p = [Σ_d v_d · w(p,d) > 0]. One narrow projection per row.
+    */
+  def srpBucket(vec: Column, planes: Int): Column = {
+    val terms = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
+          (x, d) => x.cast("double") * planeWeight(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates and queries bucketed by [[srpBucket]];
+    * cosine evaluated only within matching buckets. Returns top-k per query
+    * among same-bucket candidates (approximate — misses cross-bucket
+    * neighbors by design; raise `planes` ⇒ smaller buckets, more recall
+    * loss; this is the scan-cost/recall dial).
+    */
+  def lshTopK(queries: DataFrame, qid: String, qvec: String,
+              cands: DataFrame, cid: String, cvec: String,
+              k: Int, planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qb = queries.withColumn("_bucket", srpBucket(col(qvec), planes))
+    val cb = cands.withColumn("_bucket", srpBucket(col(cvec), planes))
+    val joined = cb.join(broadcast(qb), Seq("_bucket")).filter(col(qid) =!= col(cid))
+    val scored = joined.withColumn("cos", cosine(col(qvec), col(cvec)))
+    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qid), col(cid), col("cos"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket pairs with cosine above a
+    * threshold — the embedding-cosine dedup path (bucket join, never an
+    * all-pairs product).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, planes: Int = 8): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("_bucket", srpBucket(col("v"), planes))
+    val l = b.as("l")
+    val r = b.as("r")
+    l.join(r, col("l._bucket") === col("r._bucket") && col("l.id") < col("r.id"))
+      .withColumn("cos", cosine(col("l.v"), col("r.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cos"))
+  }
+}

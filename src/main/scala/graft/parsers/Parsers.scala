@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.TimeParse
-import graft.functions.RegexExtractStruct
+import graft.functions.{ParsedField, RegexExtractStruct, RegexParse}
 
 /** Parser definitions — the Spark restatement of the reference's parser
   * subsystem (struct at `include/fluent-bit/flb_parser.h:39-61`, loader
@@ -70,20 +70,33 @@ final case class ParserDef(
     * `timeKeep`) the time key dropped — mirroring `flb_parser_do`
     * (`src/flb_parser.c:545-559`) + in-place time-key removal
     * (`flb_parser_regex.c:166-183`).
+    *
+    * ONE expression, one regex match per row: [[RegexParse]] fuses the
+    * extraction with the casts so the compiled pattern never evaluates
+    * more than once per record.
     */
   def parsed(raw: Column): Column = format match {
     case RegexFormat =>
-      val st = RegexExtractStruct(raw, cleanRegex)
       val keep = groupNames.filter(g => timeKeep || !timeKey.contains(g))
-      when(st.isNotNull,
-        struct(keep.map(g => castField(st.getField(g), g).as(g)): _*))
+      RegexParse(raw, cleanRegex,
+        keep.map(g => ParsedField(g, types.getOrElse(g, "string"))))
     case JsonFormat =>
       val schema = jsonSchema.getOrElse(
         throw new IllegalArgumentException(s"parser $name: json format needs jsonSchema"))
       val st = from_json(raw, schema)
-      val keep = schema.fieldNames.filter(f => timeKeep || !timeKey.contains(f)).toSeq
-      when(st.isNotNull,
-        struct(keep.map(f => st.getField(f).as(f)): _*))
+      timeKey match {
+        case Some(tk) if !timeKeep && schema.fieldNames.contains(tk) => st.dropFields(tk)
+        case _ => st
+      }
+  }
+
+  /** Event time derived from an ALREADY-PARSED struct column (no second
+    * regex match) — requires `timeKeep` so the time field is present.
+    */
+  def eventTimeFrom(parsedCol: Column): Column = (timeKey, timeFormat) match {
+    case (Some(tk), Some(tf)) if timeKeep =>
+      TimeParse.parse(parsedCol.getField(tk), tf, timeOffsetSec)
+    case _ => lit(null).cast(TimestampType)
   }
 
   /** Event-time column extracted per Time_Key/Time_Format (null when the

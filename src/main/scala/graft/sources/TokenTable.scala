@@ -91,6 +91,19 @@ object TokenTable {
   def synthetic(spark: SparkSession, n: Long, numPartitions: Int = 32): DataFrame =
     withDerived(spark.range(0L, n, 1L, numPartitions).select(col("id").as("seq")))
 
+  /** Token array for an arbitrary generator index column — used to
+    * manufacture guaranteed duplicates (e.g. `g = seq - seq % 2` makes
+    * even/odd row pairs token-identical) for dedup-operator oracles.
+    */
+  def tokensFor(g: Column): Column =
+    transform(
+      sequence(lit(1L), lit(1L) + g % 64),
+      j => ((g * 2654435761L + j * 40503L) % 50257L).cast("int"))
+
+  /** DuckDB rendering of [[tokensFor]] over SQL expression `g`. */
+  def duckdbTokensFor(g: String): String =
+    s"list_transform(range(1, 2 + CAST(($g) % 64 AS INTEGER)), j -> CAST((($g) * 2654435761 + j * 40503) % 50257 AS INTEGER))"
+
   /** DuckDB SQL reproducing [[fromDocuments]] verbatim, as a CTE body.
     * Interpolate via `s"WITH tokseq AS (${TokenTable.duckdbCte}) SELECT ..."`.
     * Divergences handled: DuckDB `range(a,b)` is end-exclusive (Spark

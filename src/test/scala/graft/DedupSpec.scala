@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exactRows keeps one representative per identical content") {
+    val df = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("id", "text")
+    val out = Dedup.exactRows(df, "text", "id")
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("minhash signature: identical token arrays → identical signatures") {
+    val df = Seq(
+      (1L, Seq(10, 20, 30, 40)), (2L, Seq(10, 20, 30, 40)), (3L, Seq(9, 9, 9, 9))
+    ).toDF("id", "tokens")
+    val sig = df.select(col("id") +: Dedup.minhashSignature(col("tokens"), 4): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("minhash signature of short rows (<3 tokens) is the sentinel P") {
+    val df = Seq((1L, Seq(5))).toDF("id", "tokens")
+    val row = df.select(Dedup.minhashSignature(col("tokens"), 2): _*).collect()(0)
+    assert(row.getLong(0) == Dedup.P && row.getLong(1) == Dedup.P)
+  }
+
+  test("lshCandidatePairs recovers manufactured duplicate pairs") {
+    // rows 2k and 2k+1 share tokens → every (2k, 2k+1) must be a candidate
+    val df = spark.range(0, 40).select(col("id"),
+      graft.sources.TokenTable.tokensFor(col("id") - col("id") % 2).as("tokens"))
+    val pairs = Dedup.lshCandidatePairs(df, "id", "tokens", 8, 2)
+      .as[(Long, Long)].collect().toSet
+    val expectedDups = (0L until 40L by 2).map(k => (k, k + 1))
+      .filter { case (k, _) => 1 + k % 64 >= 3 } // short rows are excluded
+    expectedDups.foreach(p => assert(pairs.contains(p), s"missing dup pair $p"))
+  }
+
+  test("simhash: identical tokens → equal; hamming distance small for near-identical") {
+    val base = (1 to 50).toSeq
+    val df = Seq((1L, base), (2L, base), (3L, base.updated(0, 9999)))
+      .toDF("id", "tokens")
+    val h = df.select(col("id"), Dedup.simhash(col("tokens"), 16).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    val hamming = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(hamming <= 6, s"hamming=$hamming") // 1/50 tokens changed
+  }
+
+  test("ngram overlap: identical text → inter == union; disjoint → inter 0") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("ta", "tb")
+    val (inter, uni) = Dedup.ngramOverlap(col("ta"), col("tb"), 3)
+    val rows = df.select(inter.as("i"), uni.as("u")).as[(Int, Int)].collect()
+    assert(rows(0) == ((2, 2)))
+    assert(rows(1) == ((0, 4)))
+  }
+
+  test("lsh plan shuffles only (band, key, id) pairs — no full-row exchange") {
+    val df = spark.range(0, 100).select(col("id"),
+      graft.sources.TokenTable.tokensFor(col("id")).as("tokens"))
+    val plan = Dedup.lshCandidatePairs(df, "id", "tokens", 8, 2)
+      .queryExecution.executedPlan.toString
+    // the exchange operates on the exploded (id, band, key) projection,
+    // tokens are projected away before the shuffle
+    assert(!plan.matches("(?s).*Exchange[^\\n]*tokens.*"), plan)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine: identical vectors → 1.0, orthogonal → 0.0, zero vector → null") {
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(0f, 0f, 0f), Seq(1f, 1f, 1f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(got(1).getDouble(0) == 0.0)
+    assert(got(2).isNullAt(0))
+  }
+
+  test("bruteForceTopK returns k nearest by cosine with deterministic ties") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.1f)), (2L, Seq(0.9f, 0.05f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f)))
+    val cands = vecs.toDF("cid", "cvec")
+    val qs = vecs.filter(_._1 == 0L).toDF("qid", "qvec")
+    val got = Similarity.bruteForceTopK(qs, "qid", "qvec", cands, "cid", "cvec", 2)
+      .orderBy("rank").select("cid").as[Long].collect().toSeq
+    assert(got == Seq(2L, 1L)) // cos(0,2) > cos(0,1) > others
+  }
+
+  test("srpBucket: same vector → same bucket; bucket in [0, 2^planes)") {
+    val df = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f)), (3L, Seq(-9f, 4f, 0.5f)))
+      .toDF("id", "v")
+    val b = df.select(col("id"), Similarity.srpBucket(col("v"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L))
+    assert(b.values.forall(x => x >= 0 && x < 256))
+  }
+
+  test("embeddingNearDupPairs finds an exact duplicate vector pair") {
+    val dup = Seq(0.5f, -1f, 2f, 0.25f)
+    val rows = (0 until 20).map(i => (i.toLong, Seq.tabulate(4)(d => (i * 4 + d + 1).toFloat))) ++
+      Seq((100L, dup), (101L, dup))
+    val df = rows.toDF("id", "v")
+    val pairs = Similarity.embeddingNearDupPairs(df, "id", "v", 0.999999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)))
+  }
+
+  test("lshTopK joins on buckets with broadcast of the query side") {
+    val vecs = (0 until 50).map(i => (i.toLong, Seq.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))
+    val cands = vecs.toDF("cid", "cvec")
+    val qs = vecs.take(3).toDF("qid", "qvec")
+    val out = Similarity.lshTopK(qs, "qid", "qvec", cands, "cid", "cvec", 3, planes = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // every returned neighbor shares the query's bucket by construction
+    assert(out.count() > 0)
+  }
+}

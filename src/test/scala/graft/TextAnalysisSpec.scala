@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sentence = "the quick brown fox, the lazy dog!"
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = Seq(sentence).toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCountWs(col("t")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("t")).as("bpe")).collect()(0)
+    assert(r.getInt(0) == 7)
+    // the|quick|brown|fox|,|the|lazy|dog|! → 9
+    assert(r.getInt(1) == 9)
+  }
+
+  test("quality components: stopwords, punct, distinct, word lengths") {
+    val df = Seq(sentence).toDF("t")
+    val r = df.select(
+      TextAnalysis.stopwordCount(col("t")).as("stop"),
+      TextAnalysis.punctCount(col("t")).as("punct"),
+      TextAnalysis.distinctWordCount(col("t")).as("uniq"),
+      TextAnalysis.sumWordLen(col("t")).as("wlen")).collect()(0)
+    assert(r.getInt(0) == 2) // two "the" ("fox," has punct attached)
+    assert(r.getInt(1) == 2) // comma + bang
+    assert(r.getInt(2) == 6) // the quick brown fox, lazy dog!  (the repeated)
+    assert(r.getLong(3) == sentence.replace(" ", "").length)
+  }
+
+  test("language id picks dominant marker set; 'und' when none") {
+    val df = Seq(
+      "the cat is on the mat",
+      "le chat et la souris et un chien",
+      "el gato y los perros que corren",
+      "zzz qqq xxx"
+    ).toDF("t")
+    val got = df.select(TextAnalysis.languageId(col("t")).as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "es", "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq("a b c", "a b c", "c b a").toDF("t")
+    val fp = df.select(TextAnalysis.fingerprint(col("t")).as("f")).as[Long].collect()
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+  }
+
+  test("multimodal decode stub: typed pipeline produces deterministic features") {
+    import Multimodal._
+    val recs = Seq(
+      MediaRecord(1L, "image", "hello world".getBytes("UTF-8")),
+      MediaRecord(2L, "audio", Array[Byte](-1, -2, 3)))
+    val ds = spark.createDataset(recs)
+    val out = decodeFeatures(ds).collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).n_bytes == 11L)
+    assert(out(1L).head_sum == "hello world".getBytes("UTF-8").map(_ & 0xff).sum)
+    assert(out(1L).fake_width == ((11 * 7 + 13) % 1024) + 1)
+    assert(out(2L).head_sum == (255 + 254 + 3)) // unsigned byte arithmetic
+  }
+}
