@@ -288,7 +288,20 @@ object SparkEntry {
     }),
 
     // -- multimodal plumbing: binary column → batched decode stub
-    "multimodal_features" -> ((s, dir) => Multimodal.featuresFrame(s, dir))
+    "multimodal_features" -> ((s, dir) => Multimodal.featuresFrame(s, dir)),
+
+    // -- FLAGSHIP end-to-end: parse → grep 5xx → fan-out route → per-sink
+    //    count + sum(n_tok) through the Pipeline.transform used by the
+    //    snapshot runner
+    "fb_pipeline_e2e" -> ((s, dir) => {
+      val t = TokenTable.fromDocuments(s, dir)
+      val spec = graft.run.PipelineSpec(
+        grep = Seq(Grep.Regex("code", "^5")),
+        sinks = sinkSpecs)
+      graft.run.Pipeline.transform(t, spec)
+        .groupBy(col("sink"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_tok")).cast("long").as("sum_n_tok"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -507,6 +520,11 @@ object SparkEntry {
              list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT)*96 + ascii(w))),
              (a,b) -> (a*31 + b) % 1000000007) AS fp
          FROM documents""",
+
+    "fb_pipeline_e2e" ->
+      s"""$tokCtes, kept AS (SELECT * FROM parsed WHERE code >= 500)
+         SELECT sink, count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+         FROM (${sinkUnion("kept", "n_tok")}) GROUP BY sink""",
 
     "multimodal_features" ->
       """SELECT doc_id,

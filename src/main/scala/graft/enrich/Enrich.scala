@@ -33,6 +33,8 @@ object Enrich {
     */
   def kubernetes(df: DataFrame, tagCol: String, dim: DataFrame,
                  applyExclude: Boolean = true): DataFrame = {
+    // metadata payload = every dim column except the join key
+    val metaCols = dim.columns.filterNot(_ == "pod_key").toSeq
     val meta = kubeMeta(col(tagCol))
     val withKey = df
       .withColumn("_kmeta", meta)
@@ -43,14 +45,13 @@ object Enrich {
       .join(broadcast(dim), Seq("pod_key"), "left")
       .withColumn("kubernetes",
         when(col("_kmeta").isNotNull, struct(
-          col("_kmeta.podName").as("pod_name"),
-          col("_kmeta.namespaceName").as("namespace_name"),
-          col("_kmeta.containerName").as("container_name"),
-          col("_kmeta.dockerId").as("docker_id"),
-          col("labels"),
-          col("annotations"))))
-      .drop("_kmeta", "labels", "annotations")
-    if (applyExclude)
+          Seq(
+            col("_kmeta.podName").as("pod_name"),
+            col("_kmeta.namespaceName").as("namespace_name"),
+            col("_kmeta.containerName").as("container_name"),
+            col("_kmeta.dockerId").as("docker_id")) ++ metaCols.map(col): _*)))
+      .drop("_kmeta" +: metaCols: _*)
+    if (applyExclude && metaCols.contains("annotations"))
       joined.filter(
         coalesce(element_at(col("kubernetes.annotations"), "fluentbit.io/exclude"), lit("false")) =!= "true")
     else joined

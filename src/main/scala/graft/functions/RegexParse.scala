@@ -46,12 +46,17 @@ case class RegexParse(child: Expression, pattern: String, fields: Seq[ParsedFiel
 
   @transient private lazy val compiled: Pattern = Pattern.compile(pattern)
   @transient private lazy val fieldArr: Array[ParsedField] = fields.toArray
+  // matcher reuse per thread: Matcher allocation per row is pure GC load
+  // (the expression object is shared across an executor's task threads)
+  @transient private lazy val localMatcher: ThreadLocal[java.util.regex.Matcher] =
+    ThreadLocal.withInitial(() => compiled.matcher(""))
 
   /** Shared by interpreted eval and generated code: one find(), one pass
     * over the groups, casts fused. Returns null when the pattern misses.
     */
   def convert(input: UTF8String): InternalRow = {
-    val m = compiled.matcher(input.toString)
+    val m = localMatcher.get()
+    m.reset(input.toString)
     if (!m.find()) return null
     val vals = new Array[Any](fieldArr.length)
     var i = 0

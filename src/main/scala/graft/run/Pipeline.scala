@@ -1,0 +1,106 @@
+package graft.run
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.enrich.Enrich
+import graft.operators.Grep
+import graft.parsers.{ParserDef, Parsers}
+import graft.route.{Router, SinkSpec}
+
+/** The end-to-end job: parse → filter → (enrich) → tag-route fan-out →
+  * per-sink write + aggregates, executed per input SNAPSHOT with
+  * idempotent commits — the Spark restatement of the reference's
+  * ingestion→flush dispatch loop (`src/flb_engine_dispatch.c:114-185`,
+  * chunk tasks + per-route coroutines → here: one write job per snapshot,
+  * `partitionBy(sink)` laying out every route in a single pass).
+  *
+  * Scale shape:
+  *   - the transform chain is NARROW (parse/grep/enrich broadcast) — no
+  *     shuffle until the per-sink aggregate;
+  *   - fan-out duplicates rows via `explode` of the matched-sink array
+  *     (Fluent Bit duplication semantics, `src/flb_task.c:255-277`);
+  *   - the write partitions by sink directory; per-sink aggregates ride
+  *     a `groupBy(sink)` whose input is already sink-exploded — one
+  *     exchange of small pre-aggregated rows (partial aggregation);
+  *   - a killed run resumes from the ledger: committed (sink, snapshot)
+  *     pairs are skipped, uncommitted snapshots re-write their own output
+  *     directories (overwrite = idempotent).
+  */
+final case class PipelineSpec(
+    tagCol: String = "source",
+    parseCol: String = "doc_id",
+    parser: ParserDef = Parsers.apache,
+    grep: Seq[Grep.Rule] = Nil,
+    sinks: Seq[SinkSpec] = Nil,
+    enrichDim: Option[DataFrame] = None)
+
+object Pipeline {
+
+  /** The pure transform: input rows → sink-exploded rows (column `sink`
+    * appended; `parsed` struct appended; grep applied on parsed fields or
+    * raw columns).
+    */
+  def transform(df: DataFrame, spec: PipelineSpec): DataFrame = {
+    val parsed = df.withColumn("parsed", spec.parser.parsed(col(spec.parseCol)))
+    val target = parsed
+    val kept =
+      if (spec.grep.isEmpty) target
+      else target.filter(Grep.keepPredicate(spec.grep,
+        f => if (target.columns.contains(f)) col(f) else col("parsed").getField(f).cast("string")))
+    val enriched = spec.enrichDim match {
+      case Some(dim) => Enrich.kubernetes(kept, spec.tagCol, dim, applyExclude = false)
+      case None      => kept
+    }
+    Router.fanOut(enriched, spec.tagCol, spec.sinks)
+  }
+
+  /** Process one snapshot: read its files, transform, write per-sink
+    * output under `outDir/data/snap=<id>/sink=<name>/`, then commit each
+    * sink with row counts + per-partition lineage.
+    */
+  def runSnapshot(spark: SparkSession, ledger: SnapshotLedger, snap: Snapshot,
+                  spec: PipelineSpec, outDir: String): Seq[SinkCommit] = {
+    val in = spark.read.parquet(snap.files: _*)
+      .withColumn("_input_file", input_file_name())
+    val routed = transform(in, spec)
+      .withColumn("_pid", spark_partition_id())
+
+    // one pass: write every sink's directory (idempotent overwrite)
+    routed.drop("parsed")
+      .write.mode("overwrite")
+      .partitionBy("sink")
+      .parquet(s"$outDir/data/snap=${snap.id}")
+
+    // aggregates + lineage per sink (cheap second pass over the narrow
+    // transform; inputs are one snapshot's files)
+    val nTok: Column =
+      if (routed.columns.contains("n_tok")) col("n_tok") else lit(0L)
+    val agg = routed
+      .groupBy(col("sink"), col("_input_file"), col("_pid"))
+      .agg(count(lit(1)).as("rows"), sum(nTok).as("sum_n_tok"))
+      .collect()
+
+    val bySink = agg.groupBy(_.getString(0))
+    spec.sinks.map { s =>
+      val rows = bySink.getOrElse(s.name, Array.empty)
+      val commit = SinkCommit(
+        sink = s.name,
+        snapshotId = snap.id,
+        rows = rows.map(_.getLong(3)).sum,
+        sumNTok = rows.map(r => if (r.isNullAt(4)) 0L else r.getLong(4)).sum,
+        lineage = rows.map(r => LineageEntry(r.getString(1), r.getInt(2), r.getLong(3))).toSeq)
+      ledger.commit(commit)
+      commit
+    }
+  }
+
+  /** Run all snapshots not yet committed by every sink. Returns the
+    * commits performed (empty = nothing to do, fully resumed).
+    */
+  def run(spark: SparkSession, ledger: SnapshotLedger, spec: PipelineSpec,
+          outDir: String): Seq[SinkCommit] =
+    ledger.pending(spec.sinks.map(_.name)).flatMap { snap =>
+      runSnapshot(spark, ledger, snap, spec, outDir)
+    }
+}
