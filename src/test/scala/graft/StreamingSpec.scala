@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Grep
+import graft.route.SinkSpec
+import graft.run.PipelineSpec
+import graft.sources.{Generators, TailSource, TokenTable}
+import graft.streaming.StreamPipeline
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val spec = PipelineSpec(
+    grep = Seq(Grep.Regex("code", "^5")),
+    sinks = Seq(SinkSpec("sink_app", "app.*"), SinkSpec("sink_all", "*")))
+
+  test("streaming pipeline over files == batch pipeline (same transform)") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    TokenTable.synthetic(spark, 5000, 4).write.mode("overwrite").parquet(dir)
+
+    // batch reference
+    val batch = graft.run.Pipeline.transform(spark.read.parquet(dir), spec)
+      .groupBy("sink").agg(count(lit(1)).as("cnt"), sum("n_tok").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+
+    // streaming: same transform chain under readStream
+    val routed = StreamPipeline.routed(StreamPipeline.tokenStream(spark, dir), spec)
+      .groupBy("sink").agg(count(lit(1)).as("cnt"), sum("n_tok").as("s"))
+    StreamPipeline.drainToMemory(routed, "routed_agg", outputMode = "complete")
+    val streamed = spark.sql("SELECT * FROM routed_agg")
+      .as[(String, Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+  }
+
+  test("streaming flowcounter: windowed counts with watermark") {
+    val dir = Files.createTempDirectory("graft-stream-fc").toString
+    TokenTable.synthetic(spark, 2000, 4)
+      .withColumn("ts", to_timestamp(lit(TokenTable.BaseEpoch) + (col("seq") * 3) % 7200))
+      .write.mode("overwrite").parquet(dir)
+    val schema = StreamPipeline.tokenSchema
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("sink", lit("all"))
+    val fc = StreamPipeline.flowCounter(stream, "ts", "1 hour", "10 minutes", "n_tok")
+    StreamPipeline.drainToMemory(fc, "fc_out", outputMode = "complete")
+    val rows = spark.sql("SELECT window.start, cnt, sum_val FROM fc_out ORDER BY 1").collect()
+    // base 20:17:03 + offsets [0, 5997] → hour panes 20:00 and 21:00
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(1)).sum == 2000L)
+  }
+
+  test("streaming throttle: per-pane budget enforced across micro-batches") {
+    import StreamPipeline.ThrottleIn
+    val dir = Files.createTempDirectory("graft-stream-th").toString
+    val rows = (0 until 100).map { i =>
+      ThrottleIn(pane = i / 50, ts = new java.sql.Timestamp((TokenTable.BaseEpoch + i) * 1000L), key = i.toLong)
+    }
+    rows.toDF().write.mode("overwrite").parquet(dir)
+    val ds = spark.readStream
+      .schema(rows.toDF().schema).parquet(dir).as[ThrottleIn]
+    val out = StreamPipeline.throttle(ds, cap = 10)
+    StreamPipeline.drainToMemory(out.toDF(), "th_out")
+    val kept = spark.sql("SELECT pane, count(*) FROM th_out GROUP BY 1 ORDER BY 1")
+      .as[(Long, Long)].collect().toSeq
+    assert(kept == Seq((0L, 10L), (1L, 10L))) // 50 offered per pane, 10 pass
+  }
+
+  test("tail source: dotted-path dynamic tag + numbered lines for multiline") {
+    val dir = Files.createTempDirectory("graft-tail").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "app.log"), "l1\nl2\nl3\n")
+    val df = TailSource.linesNumbered(spark, s"$dir/*.log", "tail.*")
+    val got = df.select("tag", "line_no", "line").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getString(0).startsWith("tail.")))
+    assert(got.forall(r => r.getString(0).endsWith(".app.log")))
+    assert(got.map(r => (r.getInt(1), r.getString(2))).toSet == Set((0, "l1"), (1, "l2"), (2, "l3")))
+  }
+
+  test("dummy/random generators are deterministic") {
+    val d1 = Generators.dummy(spark, 5, Map("message" -> "dummy")).collect()
+    assert(d1.length == 5)
+    assert(d1.forall(_.getMap[String, String](1)("message") == "dummy"))
+    val r1 = Generators.random(spark, 10).select("rand_value").as[Long].collect().toSeq
+    val r2 = Generators.random(spark, 10).select("rand_value").as[Long].collect().toSeq
+    assert(r1 == r2) // seeded
+  }
+}
