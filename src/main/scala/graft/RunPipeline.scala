@@ -58,6 +58,29 @@ object RunPipeline {
       grep = Seq(Grep.Regex("code", "^5")),
       sinks = TokenTable.Sinks.map((SinkSpec.apply _).tupled))
 
+    if (args.contains("--stream")) {
+      // streaming mode: same transform chain under Structured Streaming,
+      // AvailableNow over the input snapshots, per-sink aggregates to
+      // console (one-shot drain; checkpointLocation makes re-runs resume)
+      import graft.streaming.StreamPipeline
+      val stream = StreamPipeline.tokenStream(spark, s"$workDir/in/*")
+      val agg = StreamPipeline.routed(stream, spec)
+        .groupBy(org.apache.spark.sql.functions.col("sink"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("n_tok")).as("sum_n_tok"))
+      val q = agg.writeStream
+        .format("console").outputMode("complete")
+        .option("checkpointLocation", s"$workDir/_stream_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println("[pipeline] streaming drain complete")
+      spark.stop()
+      return
+    }
+
     val pendingBefore = ledger.pending(spec.sinks.map(_.name)).map(_.id)
     println(s"[pipeline] pending snapshots: ${pendingBefore.mkString(",")} " +
       s"(committed work is skipped — ledger resume)")
