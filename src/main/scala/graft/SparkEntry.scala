@@ -290,6 +290,14 @@ object SparkEntry {
     // -- multimodal plumbing: binary column → batched decode stub
     "multimodal_features" -> ((s, dir) => Multimodal.featuresFrame(s, dir)),
 
+    // -- skew: two-phase salted aggregation over the hot source tag —
+    //    must equal the plain groupBy (oracle) exactly
+    "fb_salted_agg" -> ((s, dir) => {
+      val t = TokenTable.fromDocuments(s, dir)
+      graft.route.Skew.saltedAgg(t, Seq("source"), col("seq"), 8, Seq("n_tok"))
+        .select(col("source"), col("cnt"), col("sum_n_tok").cast("long").as("sum_n_tok"))
+    }),
+
     // -- FLAGSHIP end-to-end: parse → grep 5xx → fan-out route → per-sink
     //    count + sum(n_tok) through the Pipeline.transform used by the
     //    snapshot runner
@@ -520,6 +528,10 @@ object SparkEntry {
              list_transform(string_split(text,' '), w -> CAST(length(w) AS BIGINT)*96 + ascii(w))),
              (a,b) -> (a*31 + b) % 1000000007) AS fp
          FROM documents""",
+
+    "fb_salted_agg" ->
+      s"""$tokCtes SELECT source, count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+         FROM tokseq GROUP BY source""",
 
     "fb_pipeline_e2e" ->
       s"""$tokCtes, kept AS (SELECT * FROM parsed WHERE code >= 500)

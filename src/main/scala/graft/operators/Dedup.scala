@@ -83,23 +83,36 @@ object Dedup {
     }: _*)
   }
 
-  /** Candidate near-dup pairs from MinHash LSH: explode band keys, bucket,
-    * self-join within (band index, key) buckets. Output: (idA, idB) with
-    * idA < idB, distinct. The only shuffles are the bucket exchange of
-    * (key, id) pairs and the distinct.
+  /** Candidate near-dup pairs from MinHash LSH: explode band keys, ONE
+    * shuffle to group ids per (band, key) bucket, then expand pairs
+    * inside each bucket with array expressions. Output: (idA, idB) with
+    * idA < idB, distinct.
+    *
+    * Deliberately NOT a self-join: a self-join re-computes the (expensive)
+    * signature for both sides and either broadcasts it or shuffles twice;
+    * the groupBy computes signatures once and shuffles only fixed-width
+    * (band, key, id) triples. Bucket sizes are small by LSH construction;
+    * `maxBucket` caps degenerate buckets (everything-identical corpora)
+    * so a hot bucket cannot explode into B² pairs — the standard skew
+    * guard for LSH pair generation.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, tokensCol: String,
-                        numHashes: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+                        numHashes: Int = 16, rowsPerBand: Int = 2,
+                        maxBucket: Int = 10000): DataFrame = {
     val sig = minhashSignature(col(tokensCol), numHashes)
     val keyed = df
       .filter(size(col(tokensCol)) >= 3)
       .select(col(idCol).as("id"), posexplode(lshBandKeys(sig, rowsPerBand)).as(Seq("band", "key")))
-    val a = keyed.as("a")
-    val b = keyed.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val buckets = keyed
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", slice(col("ids"), 1, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, lit(maxBucket)), b =>
+          struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
