@@ -27,8 +27,8 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
+            # floats compared EXACTLY: the engine is designed for
+            # bit-reproducible folds (identical left-to-right order)
             if isinstance(v, (list, tuple)):
                 v = tuple(v)
             vals.append(v)
