@@ -290,6 +290,30 @@ object SparkEntry {
     // -- multimodal plumbing: binary column → batched decode stub
     "multimodal_features" -> ((s, dir) => Multimodal.featuresFrame(s, dir)),
 
+    // -- tail multiline: firstline-anchored record assembly (words of each
+    //    document standing in for file lines; head = the word 'the')
+    "fb_multiline" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val lines = d.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("i0", "w")))
+        .select(col("doc_id"), (col("i0") + 1).as("line_no"), col("w"))
+      Multiline.assemble(lines, "doc_id", "line_no", "w", "^the$")
+        .select(col("doc_id"), col("record_id"), col("record"))
+    }),
+
+    // -- engine breadth: rollup + exact distinct aggregates
+    "q_rollup" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+    "q_distinct_agg" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // -- skew: two-phase salted aggregation over the hot source tag —
     //    must equal the plain groupBy (oracle) exactly
     "fb_salted_agg" -> ((s, dir) => {
@@ -537,6 +561,31 @@ object SparkEntry {
       s"""$tokCtes, kept AS (SELECT * FROM parsed WHERE code >= 500)
          SELECT sink, count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
          FROM (${sinkUnion("kept", "n_tok")}) GROUP BY sink""",
+
+    "fb_multiline" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(range(1, len(string_split(text,' ')) + 1)) AS line_no
+           FROM documents),
+         lines AS (
+           SELECT w.doc_id, CAST(w.line_no AS INTEGER) AS line_no,
+                  string_split(d.text,' ')[w.line_no] AS word
+           FROM w JOIN documents d ON d.doc_id = w.doc_id),
+         marked AS (
+           SELECT doc_id, line_no, word,
+                  SUM(CASE WHEN word = 'the' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY line_no) AS rec
+           FROM lines)
+         SELECT doc_id, rec AS record_id,
+                string_agg(word, chr(10) ORDER BY line_no) AS record
+         FROM marked WHERE rec > 0 GROUP BY doc_id, rec""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS cnt
+         FROM orders GROUP BY o_orderpriority""",
 
     "multimodal_features" ->
       """SELECT doc_id,
