@@ -290,6 +290,13 @@ object SparkEntry {
     // -- multimodal plumbing: binary column → batched decode stub
     "multimodal_features" -> ((s, dir) => Multimodal.featuresFrame(s, dir)),
 
+    // -- Spark-4 Variant for schema-dynamic JSON (the msgpack-map analog)
+    "fb_variant_json" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+    }),
+
     // -- tail multiline: firstline-anchored record assembly (words of each
     //    document standing in for file lines; head = the word 'the')
     "fb_multiline" -> ((s, dir) => {
@@ -561,6 +568,9 @@ object SparkEntry {
       s"""$tokCtes, kept AS (SELECT * FROM parsed WHERE code >= 500)
          SELECT sink, count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
          FROM (${sinkUnion("kept", "n_tok")}) GROUP BY sink""",
+
+    "fb_variant_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
 
     "fb_multiline" ->
       """WITH w AS (
