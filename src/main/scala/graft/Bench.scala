@@ -72,7 +72,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchRows = sys.env.getOrElse("GRAFT_BENCH_ROWS", "8000000").toLong
+    val benchRows = sys.env.getOrElse("GRAFT_BENCH_ROWS", "16000000").toLong
     val inputPath = s"target/bench_input_$benchRows"
 
     // ---- phase 1: per-operator timings over the sf tables
@@ -130,10 +130,35 @@ object Bench {
     val raw4 = rawCpu(4)
     val raw16 = rawCpu(16)
     val rawCeiling = raw16 / (4.0 * raw4)
-    val thr4 = atCores(4)
-    val thr16 = atCores(16)
+    // interleaved blocks (4,16,4,16): host throttling windows outlast a
+    // single rep, so alternating levels exposes both to the same weather;
+    // best-per-level over both blocks
+    val (a1, b1) = (atCores(4, 2), atCores(16, 2))
+    val (a2, b2) = (atCores(4, 2), atCores(16, 2))
+    val thr4 = math.max(a1, a2)
+    val thr16 = math.max(b1, b2)
     val thr32 = atCores(32)
     val efficiency = thr16 / (4.0 * thr4)
+
+    // secondary headline: dedup signature throughput (MinHash 8-fn over
+    // token 3-shingles + 16-bit SimHash, both per row) at local[32]
+    val thrDedup = {
+      val s = session(32)
+      try {
+        import graft.operators.Dedup
+        def once(): Double = {
+          val in = s.read.parquet(inputPath)
+          val t0 = System.nanoTime()
+          in.select(Dedup.minhashSigArray(col("tokens"), 8).as("sig"),
+              Dedup.simhash(col("tokens"), 16).as("sh"))
+            .select(element_at(col("sig"), 1).as("mh0"), col("sh"))
+            .agg(sum(col("sh")), sum(col("mh0"))).collect()
+          benchRows / ((System.nanoTime() - t0) / 1e9)
+        }
+        once() // warm
+        (1 to 2).map(_ => once()).max
+      } finally s.stop()
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalSec = results.map(_._2).sum
@@ -142,7 +167,8 @@ object Bench {
         s""""bench_rows":$benchRows,"throughput_local4":$thr4,"throughput_local16":$thr16,""" +
         s""""throughput_local32":$thr32,"scaling_efficiency":$efficiency,""" +
         s""""raw_cpu_scaling_ceiling_4_to_16":$rawCeiling,""" +
-        s""""scaling_efficiency_vs_hw_ceiling":${efficiency / rawCeiling},"total_query_sec":$totalSec,""" +
+        s""""scaling_efficiency_vs_hw_ceiling":${efficiency / rawCeiling},""" +
+        s""""dedup_signature_rows_per_sec":$thrDedup,"total_query_sec":$totalSec,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
 
@@ -167,6 +193,7 @@ object Bench {
          || scaling efficiency thr16/(4·thr4) | ${"%.3f".format(efficiency)} (target ≥ 0.8) |
          || raw-CPU busy-loop ceiling 4→16 (same run) | ${"%.3f".format(rawCeiling)} |
          || job efficiency normalized to hw ceiling | ${"%.3f".format(efficiency / rawCeiling)} |
+         || dedup signatures/sec (MinHash-8 + SimHash-16, local[32]) | ${"%,.0f".format(thrDedup)} |
          || per-query total (sf tables, steady-state) | ${"%.2f".format(totalSec)} s over ${results.size} queries |
          |""".stripMargin
     try Files.writeString(Paths.get("BENCH.md"), md) catch { case _: Throwable => () }

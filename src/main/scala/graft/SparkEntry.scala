@@ -201,10 +201,12 @@ object SparkEntry {
         .select(col("keeper"), col("n_copies"))
     }),
 
-    // -- MinHash signatures over token 3-shingles (8 portable hash fns)
+    // -- MinHash signatures over token 3-shingles (8 portable hash fns);
+    //    two projections: fused array once, then cheap slot reads
     "dedup_minhash" -> ((s, dir) => {
       val t = TokenTable.fromDocuments(s, dir)
-      t.select(col("seq") +: Dedup.minhashSignature(col("tokens"), 8): _*)
+      t.select(col("seq"), Dedup.minhashSigArray(col("tokens"), 8).as("sig"))
+        .select(col("seq") +: (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"mh$j")): _*)
     }),
 
     // -- MinHash LSH candidate pairs on a table with manufactured dups

@@ -53,10 +53,17 @@ case class RegexParse(child: Expression, pattern: String, fields: Seq[ParsedFiel
 
   /** Shared by interpreted eval and generated code: one find(), one pass
     * over the groups, casts fused. Returns null when the pattern misses.
+    *
+    * ASCII fast path: log lines are overwhelmingly ASCII; matching over a
+    * zero-copy byte-view avoids the per-row String + char[] allocation
+    * (visible as GC pressure limiting multi-core scaling). Non-ASCII rows
+    * fall back to the exact `toString` decode.
     */
   def convert(input: UTF8String): InternalRow = {
     val m = localMatcher.get()
-    m.reset(input.toString)
+    val cs: CharSequence =
+      if (input.isFullAscii) new RegexParse.AsciiSeq(input) else input.toString
+    m.reset(cs)
     if (!m.find()) return null
     val vals = new Array[Any](fieldArr.length)
     var i = 0
@@ -99,4 +106,21 @@ case class RegexParse(child: Expression, pattern: String, fields: Seq[ParsedFiel
 object RegexParse {
   def apply(c: Column, pattern: String, fields: Seq[ParsedField]): Column =
     GraftShim.column(RegexParse(GraftShim.expression(c), pattern, fields))
+
+  /** Zero-copy CharSequence over an all-ASCII UTF8String (byte == char).
+    * Only valid while the backing buffer is stable — consumed entirely
+    * within one `convert` call.
+    */
+  private[functions] final class AsciiSeq(s: UTF8String) extends CharSequence {
+    private[this] val n = s.numBytes()
+    override def length(): Int = n
+    override def charAt(i: Int): Char = (s.getByte(i) & 0x7f).toChar
+    override def subSequence(a: Int, b: Int): CharSequence = {
+      val arr = new Array[Char](b - a)
+      var i = 0
+      while (i < arr.length) { arr(i) = charAt(a + i); i += 1 }
+      new String(arr)
+    }
+    override def toString: String = s.toString
+  }
 }

@@ -58,19 +58,25 @@ object Dedup {
           + element_at(tokens, i + 2)) % P))
       .otherwise(array().cast("array<long>"))
 
-  /** MinHash signature: numHashes universal-hash minima over the shingle
-    * set — h_j(s) = (s·(2j+1) + 7919·j) mod P. Null-safe: rows with fewer
-    * than 3 tokens get P (an impossible hash) in every slot.
+  /** MinHash signature as ONE fused array expression (tight JVM loop —
+    * the higher-order-function formulation is CodegenFallback-interpreted
+    * and ~20× slower; formulas identical). Rows with fewer than 3 tokens
+    * get P (an impossible hash) in every slot.
+    *
+    * Use the two-projection pattern to read slots without duplicating the
+    * expression: `.withColumn("sig", minhashSigArray(...)) .select(
+    * col("sig").getItem(j)…)` — the alias barrier keeps one eval/row.
+    */
+  def minhashSigArray(tokens: Column, numHashes: Int): Column =
+    graft.functions.MinHashSig(tokens, numHashes)
+
+  /** Named signature columns (mh0…mhN-1). Each column embeds its own copy
+    * of the fused expression — fine for small N or single-column reads;
+    * prefer [[minhashSigArray]] + two projections on hot paths.
     */
   def minhashSignature(tokens: Column, numHashes: Int): Seq[Column] = {
-    val sh = shingles(tokens)
-    (0 until numHashes).map { j =>
-      val a = 2L * j + 1
-      val b = 7919L * j
-      when(size(tokens) >= 3,
-        array_min(transform(sh, s => (s * a + b) % P)))
-        .otherwise(lit(P)).as(s"mh$j")
-    }
+    val arr = minhashSigArray(tokens, numHashes)
+    (0 until numHashes).map(j => element_at(arr, j + 1).as(s"mh$j"))
   }
 
   /** LSH banding: band key b = a portable combine of `rowsPerBand`
@@ -82,6 +88,10 @@ object Dedup {
       slots.foldLeft(lit(bi.toLong): Column)((acc, s) => (acc * 31L + s) % P)
     }: _*)
   }
+
+  /** Band keys from a signature ARRAY column (the two-projection path). */
+  def lshBandKeysFromArray(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
+    lshBandKeys((0 until numHashes).map(j => element_at(sig, j + 1)), rowsPerBand)
 
   /** Candidate near-dup pairs from MinHash LSH: explode band keys, ONE
     * shuffle to group ids per (band, key) bucket, then expand pairs
@@ -99,10 +109,11 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, tokensCol: String,
                         numHashes: Int = 16, rowsPerBand: Int = 2,
                         maxBucket: Int = 10000): DataFrame = {
-    val sig = minhashSignature(col(tokensCol), numHashes)
     val keyed = df
       .filter(size(col(tokensCol)) >= 3)
-      .select(col(idCol).as("id"), posexplode(lshBandKeys(sig, rowsPerBand)).as(Seq("band", "key")))
+      .select(col(idCol).as("id"), minhashSigArray(col(tokensCol), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandKeysFromArray(col("sig"), numHashes, rowsPerBand)).as(Seq("band", "key")))
     val buckets = keyed
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -118,18 +129,10 @@ object Dedup {
 
   /** SimHash over token ids (`bits`-wide): bit b set iff
     * Σ_tokens (bit_b(h(t))·2 − 1) > 0, h(t) = t·2654435761 mod 2³².
-    * One narrow projection; near-dup lookup buckets on the value.
+    * One fused expression, one pass over the array per row.
     */
-  def simhash(tokens: Column, bits: Int = 16): Column = {
-    val terms = (0 until bits).map { b =>
-      val bitSum = aggregate(tokens, lit(0L),
-        (acc, t) => acc
-          + (shiftright((t.cast("long") * 2654435761L) % 4294967296L, b)
-            .bitwiseAND(1L)) * 2L - 1L)
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    terms.reduce(_ + _)
-  }
+  def simhash(tokens: Column, bits: Int = 16): Column =
+    graft.functions.SimHash64(tokens, bits)
 
   /** Word n-gram set (distinct) of a text column, '|'-joined grams. */
   def wordNgrams(text: Column, n: Int): Column = {
