@@ -27,9 +27,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val toks = TokenTable.fromDocuments(spark, dir)
-    val parsed = toks.withColumn("parsed", Parsers.apache.parsed(col("doc_id")))
-    val routed = Router.fanOut(parsed, "source", TokenTable.Sinks.map((SinkSpec.apply _).tupled))
-    routed.groupBy(col("sink"))
+    val dim = spark.range(0, 10)
+      .select(concat(lit("web-"), col("id").cast("string"), lit("_default")).as("pod_key"),
+        concat(lit("team-"), col("id").cast("string")).as("team"))
+    val spec = graft.run.PipelineSpec(
+      grep = Seq(Grep.Regex("code", "^[2345]")), // keep all parsed rows
+      sinks = TokenTable.Sinks.map((SinkSpec.apply _).tupled),
+      enrichDim = Some(dim))
+    graft.run.Pipeline.transform(toks, spec)
+      .groupBy(col("sink"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_tok")).as("sum_n_tok"),
         sum(col("parsed.code")).as("sum_code"))
   }
