@@ -257,6 +257,26 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("embedding").as("cvec")), "cid", "cvec", 5)
     }),
 
+    // -- IVF cell assignment (centroids = first 16 vectors): the inverted-
+    //    file ANN structure; DuckDB recomputes the argmin independently
+    "sim_ivf_assign" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      Similarity.ivfAssign(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cell"))
+    }),
+
+    // -- embedding near-dup pairs: SRP bucket join + cosine (threshold 0 →
+    //    all same-bucket pairs, exact doubles both sides)
+    "dedup_embed_pairs" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.embeddingNearDupPairs(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        threshold = 0.0, planes = 8)
+    }),
+
     // -- LSH (sign-random-projection) bucket histogram — the ANN scale path
     "sim_srp_buckets" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -516,6 +536,42 @@ object SparkEntry {
          SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rank FROM (
            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
            FROM scored) WHERE rn <= 5""",
+
+    "sim_ivf_assign" ->
+      """WITH cents AS (
+           SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         d AS (
+           SELECT e.vec_id, c.cent_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(e.embedding)+1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))), (x,y) -> x+y) AS dist
+           FROM embeddings e CROSS JOIN cents c)
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cent_id AS cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+           FROM d) WHERE rn = 1""",
+
+    "dedup_embed_pairs" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0,8), p ->
+               CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, len(embedding)+1),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * (CAST((((p*8191 + (i-1)) * 2654435761) % 2001) - 1000 AS DOUBLE) / 1000.0))),
+                 (x,y) -> x+y) > 0
+               THEN 1<<p ELSE 0 END)) AS BIGINT) AS bucket
+           FROM embeddings)
+         SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (x,y) -> x+y)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x,y) -> x+y))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(c.embedding)+1),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (x,y) -> x+y))) AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         ) WHERE cos >= 0""",
 
     "sim_srp_buckets" ->
       """WITH b AS (

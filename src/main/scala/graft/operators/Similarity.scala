@@ -90,6 +90,45 @@ object Similarity {
       .select(col(qid), col(cid), col("cos"), col("rank"))
   }
 
+  /** Squared L2 distance (sequential fold — engine-portable like [[dot]]). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF cell assignment: nearest centroid by L2 (ties → smallest centroid
+    * id). Centroids are a SMALL broadcast table `(cent_id, cvec)` — at
+    * scale they come from a sampled k-means; any deterministic set works
+    * for the index structure itself.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, centId: String = "cent_id",
+                centVec: String = "cvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_dist"), col(centId))
+    df.join(broadcast(centroids))
+      .withColumn("_dist", l2sq(col(vecCol), col(centVec)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(df.columns.map(col) :+ col(centId).as("cell"): _*)
+  }
+
+  /** IVF top-k: queries and candidates are assigned to cells; each query
+    * searches ONLY its own cell (nprobe=1) — the scan-cost/recall dial at
+    * scale. Returns per-query top-k among same-cell candidates.
+    */
+  def ivfTopK(queries: DataFrame, qid: String, qvec: String,
+              cands: DataFrame, cid: String, cvec: String,
+              centroids: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qCells = ivfAssign(queries, qid, qvec, centroids)
+    val cCells = ivfAssign(cands, cid, cvec, centroids)
+    val joined = cCells.join(broadcast(qCells), Seq("cell")).filter(col(qid) =!= col(cid))
+    val w = Window.partitionBy(col(qid)).orderBy(cosine(col(qvec), col(cvec)).desc, col(cid))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qid), col(cid), cosine(col(qvec), col(cvec)).as("cos"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: same-bucket pairs with cosine above a
     * threshold — the embedding-cosine dedup path (bucket join, never an
     * all-pairs product).

@@ -51,6 +51,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)))
   }
 
+  test("ivfAssign picks the nearest centroid; ivfTopK searches only the cell") {
+    // centroids at (1,0) and (0,1); vectors cluster around each
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("cent_id", "cvec")
+    val vecs = Seq(
+      (10L, Seq(0.9f, 0.1f)), (11L, Seq(0.8f, 0.2f)), // cell 0
+      (20L, Seq(0.1f, 0.9f)), (21L, Seq(0.2f, 0.8f))  // cell 1
+    ).toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells == Map(10L -> 0L, 11L -> 0L, 20L -> 1L, 21L -> 1L))
+
+    val qs = Seq((10L, Seq(0.9f, 0.1f))).toDF("qid", "qvec")
+    val topk = Similarity.ivfTopK(qs, "qid", "qvec",
+      vecs.select(col("vec_id").as("cid"), col("embedding").as("cvec2")), "cid", "cvec2",
+      cents.select(col("cent_id"), col("cvec")), k = 3)
+    val neighbors = topk.select("cid").as[Long].collect().toSet
+    assert(neighbors == Set(11L)) // only the same-cell candidate (nprobe=1)
+  }
+
   test("lshTopK joins on buckets with broadcast of the query side") {
     val vecs = (0 until 50).map(i => (i.toLong, Seq.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))
     val cands = vecs.toDF("cid", "cvec")
