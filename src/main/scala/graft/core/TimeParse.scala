@@ -23,6 +23,29 @@ object TimeParse {
   /** Pinned "current year" for no-%Y formats — determinism over wall clock. */
   val RefYear = 2017
 
+  /** Scalar port of `flb_parser_tzone_offset` (`src/flb_parser.c:562-608`)
+    * for config-time `Time_Offset` values: ±HH:MM, ±HHMM, `Z`. Invalid →
+    * 0 (the reference warns and keeps 0). Note: the reference's own test
+    * table contains a wrong expectation (−21000 for "-0600") that its
+    * loop never exercises (`tests/internal/parser.c:129` indexes [0]
+    * constantly); the implementation computes hour·3600+min·60 = −21600,
+    * which this port mirrors.
+    */
+  def parseTzOffset(s0: String): Int = {
+    val s = s0.trim
+    if (s.isEmpty || s == "Z") return 0
+    if (s(0) != '+' && s(0) != '-') return 0
+    val neg = s(0) == '-'
+    val p = s.substring(1)
+    try {
+      val (h, m) =
+        if (p.length == 5 && p(2) == ':') (p.substring(0, 2).toInt, p.substring(3, 5).toInt)
+        else (p.substring(0, 2).toInt, p.substring(2, 4).toInt)
+      if (h < 0 || h > 59 || m < 0 || m > 59) 0
+      else { val v = h * 3600 + m * 60; if (neg) -v else v }
+    } catch { case _: Exception => 0 }
+  }
+
   // permissive single-letter day/hour/min/sec variants: strptime accepts
   // both zero- and space-padded fields (syslog "%b %d" emits "Feb  6")
   private val strpMap: Seq[(String, String)] = Seq(

@@ -12,9 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** One field of a [[RegexParse]]: a named capture group plus its `Types`
   * cast (reference `src/flb_parser.c:301-353`): `string`, `integer`,
-  * `float`, `bool`, `hex`.
+  * `float`, `bool`, `hex`. `out` is the struct field name — it may differ
+  * from the group when the original key is not a legal java.util.regex
+  * group name (Onigmo allows `_`, Java does not).
   */
-final case class ParsedField(group: String, cast: String = "string") {
+final case class ParsedField(group: String, cast: String = "string", out: String = null) {
+  def outName: String = if (out == null) group else out
   def dataType: DataType = cast match {
     case "integer" => LongType
     case "float"   => DoubleType
@@ -40,7 +43,7 @@ case class RegexParse(child: Expression, pattern: String, fields: Seq[ParsedFiel
     extends UnaryExpression {
 
   override def dataType: DataType =
-    StructType(fields.map(f => StructField(f.group, f.dataType, nullable = true)))
+    StructType(fields.map(f => StructField(f.outName, f.dataType, nullable = true)))
 
   override def nullable: Boolean = true
 

@@ -22,13 +22,8 @@ import graft.parsers.{ParserDef, RegexFormat}
 object ParserFilter {
 
   /** struct → map<string,string> for the given parser's output fields. */
-  private def structToMap(parser: ParserDef, p: Column): Column = {
-    val names = parser.format match {
-      case RegexFormat => parser.groupNames.filter(g => parser.timeKeep || !parser.timeKey.contains(g))
-      case _ => parser.jsonSchema.get.fieldNames.toSeq
-    }
-    map(names.flatMap(n => Seq(lit(n), p.getField(n).cast("string"))): _*)
-  }
+  private def structToMap(parser: ParserDef, p: Column): Column =
+    map(parser.outputNames.flatMap(n => Seq(lit(n), p.getField(n).cast("string"))): _*)
 
   def onMap(recordCol: String, keyName: String, parser: ParserDef,
             reserveData: Boolean = false, preserveKey: Boolean = false)
@@ -66,10 +61,7 @@ object ParserFilter {
               prefix: String = "")(df: DataFrame): DataFrame = {
     val raw = col(keyName)
     val p = parser.parsed(raw)
-    val names = parser.format match {
-      case RegexFormat => parser.groupNames.filter(g => parser.timeKeep || !parser.timeKey.contains(g))
-      case _ => parser.jsonSchema.get.fieldNames.toSeq
-    }
+    val names = parser.outputNames
     val withParsed = df.withColumn("_p", p)
     val withCols = names.foldLeft(withParsed)((d, n) =>
       d.withColumn(s"$prefix$n", col("_p").getField(n)))

@@ -33,8 +33,14 @@ final case class ParserDef(
     // key -> integer|float|bool|hex|string (reference `flb_parser.c:301-353`)
     types: Map[String, String] = Map.empty,
     // flat JSON schema for Format json (schema-on-read projection)
-    jsonSchema: Option[StructType] = None
+    jsonSchema: Option[StructType] = None,
+    // java-regex group name → ORIGINAL record key (Onigmo allows `_` in
+    // group names, java.util.regex does not; conf-loaded parsers sanitize
+    // the pattern and restore original key names through this map)
+    fieldAliases: Map[String, String] = Map.empty
 ) {
+  /** Output (record-key) name for a capture-group name. */
+  def outName(group: String): String = fieldAliases.getOrElse(group, group)
   def cleanRegex: String = {
     // the reference loader strips surrounding slashes (`flb_regex.c:72-76`)
     val r = regex.trim
@@ -77,9 +83,9 @@ final case class ParserDef(
     */
   def parsed(raw: Column): Column = format match {
     case RegexFormat =>
-      val keep = groupNames.filter(g => timeKeep || !timeKey.contains(g))
+      val keep = groupNames.filter(g => timeKeep || !timeKey.contains(outName(g)))
       RegexParse(raw, cleanRegex,
-        keep.map(g => ParsedField(g, types.getOrElse(g, "string"))))
+        keep.map(g => ParsedField(g, types.getOrElse(outName(g), "string"), outName(g))))
     case JsonFormat =>
       val schema = jsonSchema.getOrElse(
         throw new IllegalArgumentException(s"parser $name: json format needs jsonSchema"))
@@ -105,11 +111,22 @@ final case class ParserDef(
   def eventTime(raw: Column): Column = (timeKey, timeFormat) match {
     case (Some(tk), Some(tf)) =>
       val timeStr = format match {
-        case RegexFormat => RegexExtractStruct(raw, cleanRegex).getField(tk)
-        case JsonFormat  => get_json_object(raw, s"$$.$tk")
+        case RegexFormat =>
+          val group = groupNames.find(g => outName(g) == tk).getOrElse(tk)
+          RegexExtractStruct(raw, cleanRegex).getField(group)
+        case JsonFormat => get_json_object(raw, s"$$.$tk")
       }
       TimeParse.parse(timeStr, tf, timeOffsetSec)
     case _ => lit(null).cast(TimestampType)
+  }
+
+  /** Output field names of [[parsed]] (record keys after alias restore). */
+  def outputNames: Seq[String] = format match {
+    case RegexFormat =>
+      groupNames.filter(g => timeKeep || !timeKey.contains(outName(g))).map(outName)
+    case JsonFormat =>
+      jsonSchema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+        .filter(f => timeKeep || !timeKey.contains(f))
   }
 }
 

