@@ -44,6 +44,31 @@ class ConfPipelineSpec extends AnyFunSuite {
     assert(row.getAs[Long]("code") == 500L)
   }
 
+  test("loader: slash-wrapped regex (flb_regex.c:72-76) + no-year syslog + Time_Offset") {
+    val conf =
+      """[PARSER]
+        |    Name        syslog-local
+        |    Format      regex
+        |    Regex       /^\<(?<pri>[0-9]+)\>(?<time>[^ ]* {1,2}[^ ]* [^ ]*) (?<ident>[a-zA-Z0-9_\/\.\-]*): *(?<message>.*)$/
+        |    Time_Key    time
+        |    Time_Format %b %d %H:%M:%S
+        |    Time_Keep   On
+        |    Time_Offset -0600
+        |""".stripMargin
+    val p = ParserConfLoader.load(conf)("syslog-local")
+    assert(p.timeOffsetSec == -21600)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val line = "<13>Feb 16 04:06:58 myapp: something happened"
+    val df = Seq(line).toDF("raw")
+    val row = df.select(p.parsed(col("raw")).as("p")).select("p.*").collect()(0)
+    assert(row.getAs[String]("pri") == "13")
+    assert(row.getAs[String]("message") == "something happened")
+    // no-year + fixed offset → reference vector epoch (parser.c:69)
+    val ts = df.select(unix_timestamp(p.eventTime(col("raw"))).as("s")).collect()(0)
+    assert(ts.getLong(0) == 1487239618L)
+  }
+
   test("classic .conf end-to-end: tail + parser + grep + 2 outputs (SURVEY §7.3 slice)") {
     val dir = Files.createTempDirectory("graft-conf").toString
     val mk = (name: String, codes: Seq[Int]) => {
