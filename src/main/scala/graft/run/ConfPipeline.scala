@@ -26,8 +26,13 @@ import graft.sources.TailSource
   *     `flowcounter` (Unit), `null`, `stdout`
   *
   * Filters run on a fixed-schema line frame (`line`, `file`, `tag` +
-  * parsed columns); a filter whose Match doesn't cover a row leaves that
-  * row untouched (split-union semantics, `src/flb_filter.c:78-106`).
+  * parsed columns); a row-level filter whose Match doesn't cover a row
+  * leaves that row untouched (split-union / keep-gating,
+  * `src/flb_filter.c:78-106`). DEVIATION: schema-changing filters
+  * (record_modifier, nest) apply to ALL rows regardless of Match — a
+  * fixed-schema frame cannot hold per-row column sets; route such
+  * configs through the map-record operators (`Modify`,
+  * `ParserFilter.onMap`) when per-tag schema divergence matters.
   */
 object ConfPipeline {
 

@@ -64,4 +64,8 @@ object Sinks {
     */
   def esLogstashIndex(ts: Column, prefix: String): Column =
     concat(lit(prefix + "-"), date_format(ts, "yyyy.MM.dd"))
+
+  /** ES injected time field — ms precision ISO form (`es.c:208-241`). */
+  def esTimeKey(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS")
 }

@@ -66,5 +66,8 @@ class SinksSpec extends AnyFunSuite {
     val idx = Seq(java.sql.Timestamp.valueOf("2017-07-17 20:17:03")).toDF("ts")
       .select(Sinks.esLogstashIndex(col("ts"), "logstash")).as[String].collect()(0)
     assert(idx == "logstash-2017.07.17")
+    val tk = Seq(java.sql.Timestamp.valueOf("2017-07-17 20:17:03.123")).toDF("ts")
+      .select(Sinks.esTimeKey(col("ts"))).as[String].collect()(0)
+    assert(tk == "2017-07-17T20:17:03.123") // ms precision (es.c:208-241)
   }
 }
