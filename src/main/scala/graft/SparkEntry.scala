@@ -649,7 +649,7 @@ object SparkEntry {
                   SUM(CASE WHEN word = 'the' THEN 1 ELSE 0 END)
                     OVER (PARTITION BY doc_id ORDER BY line_no) AS rec
            FROM lines)
-         SELECT doc_id, rec AS record_id,
+         SELECT doc_id, CAST(rec AS BIGINT) AS record_id,
                 string_agg(word, chr(10) ORDER BY line_no) AS record
          FROM marked WHERE rec > 0 GROUP BY doc_id, rec""",
 

@@ -48,6 +48,14 @@ for name, sql in sorted(oracle.items()):
         erows, ecols = exp.fetchall(), [d[0] for d in exp.description]
     except Exception as e:
         print(f"FAIL {name}: exec error: {e}"); fails += 1; continue
+    # native-type match (a driver could compare schemas strictly; e.g.
+    # DuckDB SUM(int) is HUGEINT and must be CAST in the oracle SQL)
+    gt = dict((r[0], r[1]) for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{res_path}/*.parquet')").fetchall())
+    et = dict((r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall())
+    tdiffs = {k: (gt.get(k), et.get(k)) for k in set(gt) | set(et) if gt.get(k) != et.get(k)}
+    if tdiffs:
+        print(f"FAIL {name}: type mismatch {tdiffs}"); fails += 1; continue
     g, gc = canon(grows, gcols)
     e, ec = canon(erows, ecols)
     if gc != ec:
