@@ -189,6 +189,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
     }),
+    "q_semi_join" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      o.join(li.select(col("l_orderkey")), o("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o.select(col("o_custkey")), c("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
     "q_window_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -438,6 +450,15 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
                      JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
+
+    "q_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         GROUP BY o_orderstatus""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
 
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (

@@ -48,6 +48,16 @@ object StreamPipeline {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("sink"))
       .agg(count(lit(1)).as("cnt"), sum(col(sumCol)).as("sum_val"))
 
+  /** Streaming exact dedup: drop duplicate keys ACROSS micro-batches with
+    * bounded state (`dropDuplicatesWithinWatermark` — late duplicates
+    * beyond the watermark age out; the streaming face of
+    * [[graft.operators.Dedup.exactRows]]).
+    */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String],
+                     tsCol: String, watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ------------------------------------------------------------- throttle
   final case class ThrottleIn(pane: Long, ts: java.sql.Timestamp, key: Long)
   final case class PaneState(emitted: Long)

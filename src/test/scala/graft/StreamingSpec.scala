@@ -71,6 +71,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Seq((0L, 10L), (1L, 10L))) // 50 offered per pane, 10 pass
   }
 
+  test("streaming dedup: duplicates dropped across micro-batches (bounded state)") {
+    val dir = Files.createTempDirectory("graft-stream-dd").toString
+    // two files → two potential batches; doc 1..50 duplicated in both
+    val a = TokenTable.synthetic(spark, 100, 1)
+      .withColumn("ts", to_timestamp(lit(TokenTable.BaseEpoch) + col("seq")))
+    a.write.mode("overwrite").parquet(s"$dir/f1")
+    a.filter(col("seq") < 50).write.mode("overwrite").parquet(s"$dir/f2")
+    val schema = StreamPipeline.tokenSchema
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/f*")
+    val dd = StreamPipeline.streamingDedup(stream, Seq("seq"), "ts", "10 minutes")
+    StreamPipeline.drainToMemory(dd, "dd_out")
+    assert(spark.sql("SELECT count(*) FROM dd_out").collect()(0).getLong(0) == 100L)
+    assert(spark.sql("SELECT count(DISTINCT seq) FROM dd_out").collect()(0).getLong(0) == 100L)
+  }
+
   test("tail source: dotted-path dynamic tag + numbered lines for multiline") {
     val dir = Files.createTempDirectory("graft-tail").toString
     Files.writeString(java.nio.file.Paths.get(dir, "app.log"), "l1\nl2\nl3\n")
