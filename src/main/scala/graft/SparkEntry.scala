@@ -330,6 +330,15 @@ object SparkEntry {
     // -- multimodal plumbing: binary column → batched decode stub
     "multimodal_features" -> ((s, dir) => Multimodal.featuresFrame(s, dir)),
 
+    // -- decoder: escaped backend (Decode_Field_As escaped), oracle
+    //    reconstructs the expected unescape arithmetically
+    "fb_decode_escaped" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        graft.functions.Decoders.escaped(
+          concat(lit("line1\\nline2\\t"), col("text"))).as("decoded"))
+    }),
+
     // -- Spark-4 Variant for schema-dynamic JSON (the msgpack-map analog)
     "fb_variant_json" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -653,6 +662,10 @@ object SparkEntry {
       s"""$tokCtes, kept AS (SELECT * FROM parsed WHERE code >= 500)
          SELECT sink, count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
          FROM (${sinkUnion("kept", "n_tok")}) GROUP BY sink""",
+
+    "fb_decode_escaped" ->
+      """SELECT doc_id, concat('line1', chr(10), 'line2', chr(9), text) AS decoded
+         FROM documents""",
 
     "fb_variant_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
