@@ -321,6 +321,35 @@ object SparkEntry {
         TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
     }),
 
+    // -- token heavy-hitters: corpus-wide frequency top-20 (deterministic
+    //    tie-break) — the "what's in my training data" staple
+    "text_top_tokens" -> ((s, dir) => {
+      val t = TokenTable.fromDocuments(s, dir)
+      t.select(explode(col("tokens")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(20)
+    }),
+
+    // -- sessionization: 30-minute-gap sessions per user over events
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // gap compared in MICROSECONDS: second-level truncation vs DuckDB's
+      // rounding would disagree near the boundary
+      val tsUtc = col("ts").cast("timestamp") // parquet NTZ → session-UTC instant
+      val newSession = when(
+        unix_micros(tsUtc) - unix_micros(lag(tsUtc, 1).over(w)) > 1800000000L
+          || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)
+      ev.withColumn("_new", newSession)
+        .withColumn("session_id",
+          sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // -- rolling-hash document fingerprint
     "text_fingerprint" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -646,6 +675,25 @@ object SparkEntry {
            CAST(len(string_split(text,' ')) AS INTEGER) AS n_ws,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe
          FROM documents""",
+
+    "text_top_tokens" ->
+      s"""WITH tokseq AS (${graft.sources.TokenTable.duckdbCte}),
+         f AS (SELECT unnest(tokens) AS token FROM tokseq)
+         SELECT token, count(*) AS freq FROM f
+         GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+           SELECT user_id,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g) GROUP BY user_id""",
 
     "text_fingerprint" ->
       """SELECT doc_id,
