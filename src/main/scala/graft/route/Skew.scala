@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   *   - joins keyed on the hot column: [[saltedJoin]] replicates the
   *     small side per salt; on Spark 3+ prefer AQE skew-join
   *     (`spark.sql.adaptive.skewJoin.enabled`, on by default) and keep
-  *     salting for the cases AQE cannot split (e.g. build-side hot keys
-  *     in broadcast-unfriendly shapes).
+  *     salting for the cases AQE cannot split. VERIFIED LIMIT (AqeSkewSpec):
+  *     OptimizeSkewedJoin only matches SMJ(Sort(Shuffle), Sort(Shuffle)) —
+  *     an aggregate (e.g. `.distinct()`) between a side's shuffle and the
+  *     join blocks the split, so at scale MATERIALIZE derived dimension
+  *     tables before joining them against skewed facts, or salt.
   */
 object Skew {
 
