@@ -30,7 +30,16 @@ class GlobSpec extends AnyFunSuite {
     ("anything.at.all", "*", true),
     ("abc", "abc*", true), // trailing * matches empty
     ("ab", "a*b*c", false),
-    ("aaab", "a*ab", true) // backtracking over repeated runs
+    ("aaab", "a*ab", true), // backtracking over repeated runs
+    // LIKE metacharacters in TAG/PATTERN are literals in glob semantics —
+    // the compiler must escape them for the LIKE translation to hold
+    ("a%b", "a%b", true),
+    ("axb", "a%b", false),
+    ("a_b", "a_b", true),
+    ("axb", "a_b", false),
+    ("a\\b", "a\\b", true),
+    ("a%b", "a*b", true),
+    ("a_c", "a*", true)
   )
 
   test("flb_router_match port matches reference vectors") {
