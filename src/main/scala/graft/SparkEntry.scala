@@ -359,6 +359,19 @@ object SparkEntry {
     // -- multimodal plumbing: binary column → batched decode stub
     "multimodal_features" -> ((s, dir) => Multimodal.featuresFrame(s, dir)),
 
+    // -- the CURATION capstone: quality gate → language gate → exact-dedup
+    //    keeper — the training-data pipeline the operators compose into
+    "curate_corpus" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val scored = d.select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_words"),
+        TextAnalysis.languageId(col("text")).as("pred_lang"))
+      val kept = scored.filter(col("n_words") >= 30 && col("pred_lang") === "en")
+      val keepers = kept.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      kept.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_words"))
+    }),
+
     // -- decoder: escaped backend (Decode_Field_As escaped), oracle
     //    reconstructs the expected unescape arithmetically
     "fb_decode_escaped" -> ((s, dir) => {
@@ -742,6 +755,24 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS cnt
          FROM orders GROUP BY o_orderpriority""",
+
+    "curate_corpus" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             CAST(len(string_split(text,' ')) AS INTEGER) AS n_words,
+             len(list_filter(string_split(text,' '), w -> lower(w) IN ('the','a','is','of','and'))) AS s_en,
+             len(list_filter(string_split(text,' '), w -> lower(w) IN ('le','la','les','et','un','une'))) AS s_fr,
+             len(list_filter(string_split(text,' '), w -> lower(w) IN ('el','los','y','que','una'))) AS s_es,
+             len(list_filter(string_split(text,' '), w -> lower(w) IN ('der','die','und','das','ein'))) AS s_de
+           FROM documents),
+         kept AS (
+           SELECT * FROM s
+           WHERE n_words >= 30
+             AND greatest(s_en,s_fr,s_es,s_de) > 0
+             AND s_en = greatest(s_en,s_fr,s_es,s_de)),
+         keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+         SELECT k.doc_id, k.n_words FROM kept k
+         WHERE EXISTS (SELECT 1 FROM keepers x WHERE x.doc_id = k.doc_id)""",
 
     "multimodal_features" ->
       """SELECT doc_id,
