@@ -99,6 +99,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(r => (r.getInt(1), r.getString(2))).toSet == Set((0, "l1"), (1, "l2"), (2, "l3")))
   }
 
+  test("tail lines (distributed variant): tag composed, content complete") {
+    val dir = Files.createTempDirectory("graft-tail2").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "x.log"), "a\nb\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "y.log"), "c\n")
+    val df = TailSource.lines(spark, s"$dir/*.log", "t.*")
+    val got = df.select("line", "tag").as[(String, String)].collect().toSet
+    assert(got.map(_._1) == Set("a", "b", "c"))
+    assert(got.forall { case (_, t) => t.startsWith("t.") && t.endsWith(".log") })
+  }
+
   test("dummy/random generators are deterministic") {
     val d1 = Generators.dummy(spark, 5, Map("message" -> "dummy")).collect()
     assert(d1.length == 5)

@@ -52,6 +52,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(0) != fp(2))
   }
 
+  test("qualityScore is in [0,1] and rewards stopword-bearing prose") {
+    val df = Seq(
+      "the cat is on the mat and the dog is in the yard", // prose-like
+      "zzzzzzzzzzzz qqqqqqqqq xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx" // junk
+    ).toDF("t")
+    val got = df.select(TextAnalysis.qualityScore(col("t")).as("q")).as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0) > got(1))
+  }
+
   test("multimodal decode stub: typed pipeline produces deterministic features") {
     import Multimodal._
     val recs = Seq(
