@@ -296,21 +296,21 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     }),
 
-    // -- text quality components (integer-exact)
+    // -- text quality components (integer-exact; fused one-pass TextStats)
     "text_quality" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      d.select(col("doc_id"),
-        TextAnalysis.tokenCountWs(col("text")).as("n_words"),
-        TextAnalysis.distinctWordCount(col("text")).as("n_uniq"),
-        TextAnalysis.sumWordLen(col("text")).as("sum_wlen"),
-        TextAnalysis.punctCount(col("text")).as("n_punct"),
-        TextAnalysis.stopwordCount(col("text")).as("n_stop"))
+      d.select(col("doc_id"), TextAnalysis.stats(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_words").as("n_words"), col("st.n_uniq").as("n_uniq"),
+          col("st.sum_wlen").as("sum_wlen"), col("st.n_punct").as("n_punct"),
+          col("st.n_stop").as("n_stop"))
     }),
 
-    // -- language id (marker heuristic, fixed tie order)
+    // -- language id (marker heuristic, fixed tie order; fused stats)
     "text_langid" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      d.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("pred_lang"))
+      d.select(col("doc_id"), TextAnalysis.stats(col("text")).as("st"))
+        .select(col("doc_id"), TextAnalysis.languageIdFrom(col("st")).as("pred_lang"))
     }),
 
     // -- token counting: whitespace + BPE-ish regex
@@ -350,10 +350,10 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
-    // -- rolling-hash document fingerprint
+    // -- rolling-hash document fingerprint (fused stats)
     "text_fingerprint" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      d.select(col("doc_id"), TextAnalysis.stats(col("text")).getField("fp").as("fp"))
     }),
 
     // -- multimodal plumbing: binary column → batched decode stub
@@ -363,9 +363,10 @@ object SparkEntry {
     //    keeper — the training-data pipeline the operators compose into
     "curate_corpus" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val scored = d.select(col("doc_id"), col("text"),
-        TextAnalysis.tokenCountWs(col("text")).as("n_words"),
-        TextAnalysis.languageId(col("text")).as("pred_lang"))
+      val scored = d.select(col("doc_id"), col("text"), TextAnalysis.stats(col("text")).as("st"))
+        .select(col("doc_id"), col("text"),
+          col("st.n_words").as("n_words"),
+          TextAnalysis.languageIdFrom(col("st")).as("pred_lang"))
       val kept = scored.filter(col("n_words") >= 30 && col("pred_lang") === "en")
       val keepers = kept.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       kept.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")

@@ -77,6 +77,23 @@ object TextAnalysis {
     }
   }
 
+  // ---------------------------------------------------------- fused path
+  /** All text statistics in ONE pass (see [[graft.functions.TextStats]]):
+    * struct(n_words, n_uniq, sum_wlen, n_punct, n_stop, s_<lang>…, fp).
+    * Values identical to the composable functions above; use on hot paths
+    * (the composable forms are interpreted higher-order functions).
+    */
+  def stats(text: Column): Column = graft.functions.TextStats(text)
+
+  /** Language id from a [[stats]] struct (same tie order as [[languageId]]). */
+  def languageIdFrom(st: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> st.getField(s"s_$l") }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
+      when(s === best && best > 0, lit(l)).otherwise(rest)
+    }
+  }
+
   // -------------------------------------------------------- fingerprint
   /** Per-word key for the rolling hash: 96·len(w) + ascii(first char) —
     * engine-portable (ascii('')=0 in both Spark and DuckDB).

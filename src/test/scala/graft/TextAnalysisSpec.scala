@@ -52,6 +52,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(0) != fp(2))
   }
 
+  test("fused TextStats equals the composable functions on real documents") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val composable = d.select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("a"),
+      TextAnalysis.distinctWordCount(col("text")).as("b"),
+      TextAnalysis.sumWordLen(col("text")).as("c"),
+      TextAnalysis.punctCount(col("text")).as("d"),
+      TextAnalysis.stopwordCount(col("text")).as("e"),
+      TextAnalysis.languageId(col("text")).as("f"),
+      TextAnalysis.fingerprint(col("text")).as("g"))
+    val fused = d.select(col("doc_id"), TextAnalysis.stats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st.n_words").as("a"), col("st.n_uniq").as("b"),
+        col("st.sum_wlen").as("c"), col("st.n_punct").as("d"),
+        col("st.n_stop").as("e"),
+        TextAnalysis.languageIdFrom(col("st")).as("f"),
+        col("st.fp").as("g"))
+    assert(composable.exceptAll(fused).isEmpty && fused.exceptAll(composable).isEmpty)
+  }
+
   test("qualityScore is in [0,1] and rewards stopword-bearing prose") {
     val df = Seq(
       "the cat is on the mat and the dog is in the yard", // prose-like
