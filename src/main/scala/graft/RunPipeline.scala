@@ -43,9 +43,12 @@ object RunPipeline {
       val nSnaps = if (args.length > 3) args(3).toInt else 3
       val per = rows / nSnaps
       (0 until nSnaps).foreach { i =>
+        // last snapshot takes the division remainder — every seq in
+        // [0, rows) lands in exactly one snapshot
+        val hi = if (i == nSnaps - 1) rows else (i + 1) * per
         TokenTable.synthetic(spark, rows, 32)
           .filter(org.apache.spark.sql.functions.col("seq") >= i * per)
-          .filter(org.apache.spark.sql.functions.col("seq") < (i + 1) * per)
+          .filter(org.apache.spark.sql.functions.col("seq") < hi)
           .write.mode("overwrite").parquet(s"$workDir/in/snap$i")
         val files = Files.list(Paths.get(s"$workDir/in/snap$i")).iterator.asScala
           .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted

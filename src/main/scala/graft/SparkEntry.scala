@@ -92,12 +92,18 @@ object SparkEntry {
     }),
 
     // -- end-to-end token passthrough: parse → grep 5xx → route; tokens must
-    //    arrive byte-identical (BASELINE per-row invariant)
+    //    arrive byte-identical (BASELINE per-row invariant). The driver-
+    //    compared output carries a portable per-row DIGEST of the array
+    //    (fold (h·31+t) mod P — the raw array<int> column crashes the
+    //    driver's pandas row-sort; raw-array equality is asserted in
+    //    ScalarOracleSpec over 100% of rows).
     "fb_tokens_passthrough" -> ((s, dir) => {
       val t = TokenTable.fromDocuments(s, dir)
       val kept = t.filter(Parsers.apache.parsed(col("doc_id")).getField("code") >= 500)
       Router.fanOut(kept, "source", sinkSpecs)
-        .select(col("seq"), col("sink"), col("n_tok"), col("tokens"))
+        .select(col("seq"), col("sink"), col("n_tok"),
+          aggregate(col("tokens"), lit(0L),
+            (h, tk) => (h * 31L + tk) % lit(TextAnalysis.P)).as("tok_hash"))
     }),
 
     // -- kube-style enrichment: tag-regex extract + broadcast dim join
@@ -211,10 +217,14 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rn"))
     }),
 
-    // -- training-data ops: exact dedup
+    // -- training-data ops: exact dedup. Groups by an 8-byte CONTENT HASH,
+    //    not the full text — the shuffle key at 100 TB is fixed-width
+    //    (DuckDB groups by hash(text): different hash function, identical
+    //    GROUPING, so (keeper, n_copies) match while neither engine
+    //    shuffles whole documents)
     "dedup_exact" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      d.groupBy(col("text"))
+      d.groupBy(xxhash64(col("text")))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
         .select(col("keeper"), col("n_copies"))
     }),
@@ -368,7 +378,8 @@ object SparkEntry {
           col("st.n_words").as("n_words"),
           TextAnalysis.languageIdFrom(col("st")).as("pred_lang"))
       val kept = scored.filter(col("n_words") >= 30 && col("pred_lang") === "en")
-      val keepers = kept.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      // keeper selection shuffles (hash, id) pairs, never document bodies
+      val keepers = kept.groupBy(xxhash64(col("text"))).agg(min(col("doc_id")).as("doc_id"))
       kept.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("n_words"))
     }),
@@ -454,7 +465,11 @@ object SparkEntry {
 
     "fb_tokens_passthrough" ->
       s"""$tokCtes, kept AS (SELECT * FROM parsed WHERE code >= 500)
-         SELECT sink, seq, n_tok, tokens FROM (${sinkUnion("kept", "seq, n_tok, tokens")})""",
+         SELECT sink, seq, n_tok,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(tokens, t -> CAST(t AS BIGINT))),
+             (h, t) -> (h*31 + t) % 1000000007) AS tok_hash
+         FROM (${sinkUnion("kept", "seq, n_tok, tokens")})""",
 
     "fb_enrich_kube" ->
       s"""$tokCtes SELECT seq,
@@ -521,7 +536,7 @@ object SparkEntry {
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
-         FROM documents GROUP BY text""",
+         FROM documents GROUP BY hash(text)""",
 
     "dedup_minhash" -> {
       val mh = (0 until 8).map { j =>
@@ -771,7 +786,7 @@ object SparkEntry {
            WHERE n_words >= 30
              AND greatest(s_en,s_fr,s_es,s_de) > 0
              AND s_en = greatest(s_en,s_fr,s_es,s_de)),
-         keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+         keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY hash(text))
          SELECT k.doc_id, k.n_words FROM kept k
          WHERE EXISTS (SELECT 1 FROM keepers x WHERE x.doc_id = k.doc_id)""",
 

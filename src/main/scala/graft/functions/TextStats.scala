@@ -65,8 +65,11 @@ case class TextStats(child: Expression) extends UnaryExpression {
     var w = 0
     while (w < words.length) {
       val word = words(w)
+      // CODEPOINT length (Spark length()/DuckDB length() semantics) — Java
+      // word.length counts UTF-16 units and would double supplementary chars
+      val wlen = word.codePointCount(0, word.length).toLong
       nWords += 1
-      sumLen += word.length
+      sumLen += wlen
       uniq.add(word)
       if (stopSet.contains(word)) nStop += 1
       val lower = word.toLowerCase
@@ -76,7 +79,7 @@ case class TextStats(child: Expression) extends UnaryExpression {
         m += 1
       }
       val first = if (word.isEmpty) 0L else word.codePointAt(0).toLong
-      fp = (fp * 31L + (word.length.toLong * 96L + first)) % P
+      fp = (fp * 31L + (wlen * 96L + first)) % P
       w += 1
     }
     val vals = new Array[Any](5 + langs.length + 1)

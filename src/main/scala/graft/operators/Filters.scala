@@ -97,7 +97,8 @@ object Modify {
     case KeyExists(k)                => has(m, k)
     case KeyDoesNotExist(k)          => !has(m, k)
     case KeyValueEquals(k, v)        => has(m, k) && element_at(m, k) === v
-    case KeyValueDoesNotEqual(k, v)  => has(m, k) && element_at(m, k) =!= v
+    // NOT(KEY_VALUE_EQUALS): TRUE when the key is missing (modify.c:553-559)
+    case KeyValueDoesNotEqual(k, v)  => !condition(m, KeyValueEquals(k, v))
   }
 
   def applyRule(m: Column, r: Rule): Column = r match {

@@ -85,12 +85,15 @@ object ConfPipeline {
         }
       s.get("Name").map(_.toLowerCase) match {
         case Some("grep") =>
-          val rules: Seq[Grep.Rule] =
-            s.getAll("Regex").map { v =>
+          // encounter order matters: the decision chain is first-decisive-
+          // rule-wins (grep.c:130-205), so an Exclude listed before a Regex
+          // must be evaluated first — map section entries once, in order
+          val rules: Seq[Grep.Rule] = s.entries.collect {
+            case (k, v) if k.equalsIgnoreCase("Regex") =>
               val Array(f, p) = v.split("\\s+", 2); Grep.Regex(f, p)
-            } ++ s.getAll("Exclude").map { v =>
+            case (k, v) if k.equalsIgnoreCase("Exclude") =>
               val Array(f, p) = v.split("\\s+", 2); Grep.Exclude(f, p)
-            }
+          }
           // grep drops rows: non-matching tags must be kept regardless
           val keep = Grep.keepPredicate(rules,
             f => if (df.columns.contains(f)) col(f) else lit(null).cast("string"))

@@ -56,8 +56,14 @@ object Pipeline {
   }
 
   /** Process one snapshot: read its files, transform, write per-sink
-    * output under `outDir/data/snap=<id>/sink=<name>/`, then commit each
+    * output under `outDir/data/snap=<id>/sink=<name>/`, and commit each
     * sink with row counts + per-partition lineage.
+    *
+    * ONE job per snapshot: the write action carries a `Dataset.observe`
+    * aggregate ([[Lineage.agg]]) that accumulates (sink × file ×
+    * partition) → (rows, sum_n_tok) in-flight, so the commit metadata
+    * comes out of the SAME scan that writes the data — no recompute of
+    * the transform, no second pass over the input.
     */
   def runSnapshot(spark: SparkSession, ledger: SnapshotLedger, snap: Snapshot,
                   spec: PipelineSpec, outDir: String): Seq[SinkCommit] = {
@@ -66,30 +72,26 @@ object Pipeline {
     val routed = transform(in, spec)
       .withColumn("_pid", spark_partition_id())
 
-    // one pass: write every sink's directory (idempotent overwrite)
-    routed.drop("parsed")
+    val nTok: Column =
+      if (routed.columns.contains("n_tok")) col("n_tok").cast("long") else lit(0L)
+    val obs = org.apache.spark.sql.Observation(s"graft-lineage-${snap.id}")
+    routed
+      .observe(obs, Lineage.agg(col("sink"), col("_input_file"), col("_pid"), nTok).as("lineage"))
+      .drop("parsed")
       .write.mode("overwrite")
       .partitionBy("sink")
       .parquet(s"$outDir/data/snap=${snap.id}")
 
-    // aggregates + lineage per sink (cheap second pass over the narrow
-    // transform; inputs are one snapshot's files)
-    val nTok: Column =
-      if (routed.columns.contains("n_tok")) col("n_tok") else lit(0L)
-    val agg = routed
-      .groupBy(col("sink"), col("_input_file"), col("_pid"))
-      .agg(count(lit(1)).as("rows"), sum(nTok).as("sum_n_tok"))
-      .collect()
-
-    val bySink = agg.groupBy(_.getString(0))
+    val stats = Lineage.fromObservation(obs.get("lineage"))
+    val bySink = stats.groupBy(_.sink)
     spec.sinks.map { s =>
-      val rows = bySink.getOrElse(s.name, Array.empty)
+      val cells = bySink.getOrElse(s.name, Seq.empty)
       val commit = SinkCommit(
         sink = s.name,
         snapshotId = snap.id,
-        rows = rows.map(_.getLong(3)).sum,
-        sumNTok = rows.map(r => if (r.isNullAt(4)) 0L else r.getLong(4)).sum,
-        lineage = rows.map(r => LineageEntry(r.getString(1), r.getInt(2), r.getLong(3))).toSeq)
+        rows = cells.map(_.rows).sum,
+        sumNTok = cells.map(_.sumNTok).sum,
+        lineage = cells.map(c => LineageEntry(c.file, c.pid, c.rows)))
       ledger.commit(commit)
       commit
     }

@@ -69,6 +69,37 @@ class ConfPipelineSpec extends AnyFunSuite {
     assert(ts.getLong(0) == 1487239618L)
   }
 
+  test("grep rules keep .conf encounter order: Exclude before Regex is decisive first (grep.c:130-205)") {
+    val dir = Files.createTempDirectory("graft-conf-order").toString
+    val lines = Seq(
+      """h0 - u [17/Jul/2017:20:17:03 +0000] "GET /healthz HTTP/1.1" 500 1""", // Exclude hits first → drop
+      """h1 - u [17/Jul/2017:20:17:03 +0000] "GET /p/1 HTTP/1.1" 500 2""",     // kept by Regex
+      """h2 - u [17/Jul/2017:20:17:03 +0000] "GET /p/2 HTTP/1.1" 200 3""")     // dropped by Regex
+    Files.writeString(Paths.get(dir, "app.log"), lines.mkString("", "\n", "\n"))
+    val conf =
+      s"""[INPUT]
+         |    Name   tail
+         |    Path   $dir/*.log
+         |    Tag    logs.*
+         |    Parser apache
+         |
+         |[FILTER]
+         |    Name    grep
+         |    Match   *
+         |    Exclude path ^/healthz
+         |    Regex   code ^5
+         |
+         |[OUTPUT]
+         |    Name   counter
+         |    Match  *
+         |""".stripMargin
+    val loaded = ConfPipeline.load(spark, conf, parsersConf)
+    val results = ConfPipeline.run(loaded, s"$dir/out").toMap
+    // with the rebuilt all-Regex-then-all-Exclude order the /healthz 500
+    // would be KEPT by the (decisive) Regex before Exclude ever ran → 2
+    assert(results("counter_0") == 1L)
+  }
+
   test("classic .conf end-to-end: tail + parser + grep + 2 outputs (SURVEY §7.3 slice)") {
     val dir = Files.createTempDirectory("graft-conf").toString
     val mk = (name: String, codes: Seq[Int]) => {

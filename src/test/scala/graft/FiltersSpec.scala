@@ -105,6 +105,21 @@ class FiltersSpec extends AnyFunSuite {
     assert(got("e2") == Map("lvl" -> "info"))
   }
 
+  test("modify KEY_VALUE_DOES_NOT_EQUAL is NOT(EQUALS): TRUE on missing key (modify.c:553-559)") {
+    val df = Seq(("e1", Some("error")), ("e2", Some("info")), ("e3", None))
+      .toDF("id", "lvl")
+      .withColumn("record",
+        when(col("lvl").isNotNull, map(lit("lvl"), col("lvl"))).otherwise(map()))
+    val out = Modify.apply("record",
+      Seq(Modify.KeyValueDoesNotEqual("lvl", "error")),
+      Seq(Modify.Set("flag", "1")))(df)
+    val got = out.select("id", "record").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).toMap).toMap
+    assert(got("e1") == Map("lvl" -> "error"))              // equals → NOTOUCH
+    assert(got("e2") == Map("lvl" -> "info", "flag" -> "1")) // differs → apply
+    assert(got("e3") == Map("flag" -> "1"))                  // MISSING key → apply
+  }
+
   // ------------------------------------------------------------------ nest
   test("nest moves wildcard keys under sub-struct; lift splices back with prefix (nest.c:277-402)") {
     val df = Seq((1, "x", 2.5)).toDF("id", "kube_pod", "value")

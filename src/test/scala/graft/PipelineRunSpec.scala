@@ -57,6 +57,32 @@ class PipelineRunSpec extends AnyFunSuite {
     deleteRec(Paths.get(root))
   }
 
+  test("runSnapshot scans the input ONCE (observe-based lineage, no second pass)") {
+    val root = Files.createTempDirectory("graft-pipe1j").toString
+    val ledger = makeInput(root)
+    val snap = ledger.pending(spec.sinks.map(_.name)).head
+    val expected = spark.read.parquet(snap.files: _*).count()
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(300) // drain events from the count() above
+      recordsRead.set(0)
+      Pipeline.runSnapshot(spark, ledger, snap, spec, s"$root/out")
+      // listener events are async — wait until the total stabilizes
+      var last = -1L; var tries = 0
+      while (recordsRead.get != last && tries < 50) { last = recordsRead.get; Thread.sleep(100); tries += 1 }
+      // the two-pass formulation read 2×expected; single-pass reads exactly 1×
+      assert(recordsRead.get == expected,
+        s"expected one scan of $expected input rows, read ${recordsRead.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    deleteRec(Paths.get(root))
+  }
+
   test("kill + resume: committed snapshots are skipped, aggregates unchanged") {
     val root = Files.createTempDirectory("graft-pipe2").toString
     val ledger = makeInput(root)
