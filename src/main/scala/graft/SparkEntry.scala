@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.core.Glob
 import graft.enrich.Enrich
 import graft.operators._
-import graft.parsers.Parsers
+import graft.parsers.{ParserDef, Parsers, RegexFormat}
 import graft.route.{Router, SinkSpec}
 import graft.sinks.Sinks
-import graft.sources.TokenTable
+import graft.sources.{Fixtures, TokenTable}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +106,107 @@ object SparkEntry {
             (h, tk) => (h * 31L + tk) % lit(TextAnalysis.P)).as("tok_hash"))
     }),
 
+    // -- parser corpus (the remaining shipped parsers.conf definitions,
+    //    each over a deterministic fixture line; the oracle reconstructs
+    //    the expected fields ARITHMETICALLY — see Fixtures)
+    "fb_parse_nginx" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.nginxLine)
+      f.withColumn("p", Parsers.nginx.parsed(col("raw")))
+        .select(col("seq"),
+          col("p.remote").as("remote"), col("p.host").as("host"),
+          col("p.user").as("usr"), col("p.method").as("method"),
+          col("p.path").as("path"), col("p.code").as("code"),
+          col("p.size").as("size"), col("p.referer").as("referer"),
+          col("p.agent").as("agent"),
+          unix_timestamp(Parsers.nginx.eventTime(col("raw"))).as("tsec"))
+    }),
+
+    "fb_parse_apache2" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.apache2Line)
+      f.withColumn("p", Parsers.apache2.parsed(col("raw")))
+        .select(col("seq"),
+          col("p.host").as("host"), col("p.user").as("usr"),
+          col("p.method").as("method"), col("p.path").as("path"),
+          col("p.code").as("code"), col("p.size").as("size"),
+          col("p.referer").as("referer"), col("p.agent").as("agent"))
+    }),
+
+    // optional pid/client groups null out on every 3rd row
+    "fb_parse_apache_error" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.apacheErrorLine)
+      f.withColumn("p", Parsers.apacheError.parsed(col("raw")))
+        .select(col("seq"),
+          col("p.time").as("time"), col("p.level").as("level"),
+          col("p.pid").as("pid"), col("p.client").as("client"),
+          col("p.message").as("message"))
+    }),
+
+    // %L fractional seconds verified at MICROSECOND resolution
+    "fb_parse_docker_daemon" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.dockerDaemonLine)
+      f.withColumn("p", Parsers.dockerDaemon.parsed(col("raw")))
+        .select(col("seq"),
+          col("p.time").as("time"), col("p.level").as("level"),
+          col("p.msg").as("msg"),
+          unix_micros(Parsers.dockerDaemon.eventTime(col("raw"))).as("tus"))
+    }),
+
+    // slash-wrapped regex + no-year time (pinned ref-year injection)
+    "fb_parse_rfc3164" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.rfc3164Line)
+      f.withColumn("p", Parsers.syslogRfc3164.parsed(col("raw")))
+        .select(col("seq"),
+          col("p.pri").as("pri"), col("p.time").as("time"),
+          col("p.host").as("host"), col("p.ident").as("ident"),
+          col("p.pid").as("pid"), col("p.message").as("message"),
+          unix_timestamp(Parsers.syslogRfc3164.eventTime(col("raw"))).as("tsec"))
+    }),
+
+    // lazy message + optional trailing `<ms>ms` suffix
+    "fb_parse_mongodb" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.mongodbLine)
+      f.withColumn("p", Parsers.mongodb.parsed(col("raw")))
+        .select(col("seq"),
+          col("p.time").as("time"), col("p.severity").as("severity"),
+          col("p.component").as("component"), col("p.context").as("context"),
+          col("p.message").as("message"), col("p.ms").as("ms"),
+          unix_micros(Parsers.mongodb.eventTime(col("raw"))).as("tus"))
+    }),
+
+    // generic json parser: schema-on-read projection + time-key removal
+    "fb_parse_json" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val p = Parsers.jsonGeneric.copy(jsonSchema = Some(StructType(Seq(
+        StructField("k", LongType), StructField("name", StringType),
+        StructField("time", StringType)))))
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.jsonLine)
+      f.withColumn("p", p.parsed(col("raw")))
+        .select(col("seq"), col("p.k").as("k"), col("p.name").as("name"),
+          unix_timestamp(p.eventTime(col("raw"))).as("tsec"))
+    }),
+
+    // underscore group names sanitized for java.util.regex, restored on out
+    "fb_parse_kube_test" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.kubeTestTag)
+      f.withColumn("p", Parsers.filterKubeTest.parsed(col("raw")))
+        .select(col("seq"),
+          col("p.pod_name").as("pod_name"),
+          col("p.namespace_name").as("namespace_name"),
+          col("p.container_name").as("container_name"),
+          col("p.docker_id").as("docker_id"))
+    }),
+
+    // Types casts: float / hex / bool fused into the parse expression
+    "fb_parse_types" -> ((s, dir) => {
+      val p = ParserDef(name = "types-demo", format = RegexFormat,
+        regex = "^val=(?<v>[^ ]*) flags=(?<f>[^ ]*) on=(?<b>[^ ]*)$",
+        types = Map("v" -> "float", "f" -> "hex", "b" -> "bool"))
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.typesLine)
+      f.withColumn("p", p.parsed(col("raw")))
+        .select(col("seq"), col("p.v").as("v"), col("p.f").as("f"),
+          col("p.b").as("b"))
+    }),
+
     // -- kube-style enrichment: tag-regex extract + broadcast dim join
     "fb_enrich_kube" -> ((s, dir) => {
       val t = TokenTable.fromDocuments(s, dir)
@@ -116,11 +217,11 @@ object SparkEntry {
       val meta = Enrich.kubeMeta(col("source"))
       t.withColumn("m", meta)
         .filter(col("m").isNotNull)
-        .withColumn("pod_key", concat(col("m.podName"), lit("_"), col("m.namespaceName")))
+        .withColumn("pod_key", concat(col("m.pod_name"), lit("_"), col("m.namespace_name")))
         .join(broadcast(dim), Seq("pod_key"), "left")
-        .select(col("seq"), col("m.podName").as("pod_name"),
-          col("m.namespaceName").as("namespace_name"),
-          col("m.containerName").as("container_name"), col("team"))
+        .select(col("seq"), col("m.pod_name").as("pod_name"),
+          col("m.namespace_name").as("namespace_name"),
+          col("m.container_name").as("container_name"), col("team"))
     }),
 
     // -- record_modifier: whitelist with trailing-* prefix + case-insensitive
@@ -393,6 +494,27 @@ object SparkEntry {
           concat(lit("line1\\nline2\\t"), col("text"))).as("decoded"))
     }),
 
+    // -- decoder rule CHAIN: Decode_Field_As escaped do_next + Decode_Field
+    //    json (the docker shape) — in-place unescape, then decoded JSON keys
+    //    appended as extra keys
+    "fb_decode_chain" -> ((s, dir) => {
+      import graft.parsers.ParserConfLoader.DecoderRule
+      val chain = Seq(
+        DecoderRule("escaped", "log", action = "do_next", inPlace = true),
+        DecoderRule("json", "log", action = "", inPlace = false))
+      Fixtures.seqs(s, dir)
+        .withColumn("record", map(
+          lit("log"), Fixtures.dockerLogLine,
+          lit("stream"), lit("stdout")))
+        .withColumn("record", DecoderChain(col("record"), chain))
+        .select(col("seq"),
+          element_at(col("record"), "log").as("log"),
+          element_at(col("record"), "stream").as("stream"),
+          element_at(col("record"), "k").as("k"),
+          element_at(col("record"), "msg").as("msg"),
+          size(col("record")).as("nkeys"))
+    }),
+
     // -- Spark-4 Variant for schema-dynamic JSON (the msgpack-map analog)
     "fb_variant_json" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -470,6 +592,94 @@ object SparkEntry {
              list_transform(tokens, t -> CAST(t AS BIGINT))),
              (h, t) -> (h*31 + t) % 1000000007) AS tok_hash
          FROM (${sinkUnion("kept", "seq, n_tok, tokens")})""",
+
+    "fb_parse_nginx" ->
+      s"""SELECT doc_id AS seq,
+            concat('rem-', CAST(doc_id % 251 AS VARCHAR)) AS remote,
+            concat('host-', CAST(doc_id % 97 AS VARCHAR)) AS host,
+            concat('user', CAST(doc_id % 31 AS VARCHAR)) AS usr,
+            'GET' AS method,
+            concat('/n/', CAST(doc_id AS VARCHAR)) AS path,
+            ${Fixtures.duckdbCode} AS code,
+            CAST((doc_id * 37) % 1009 AS VARCHAR) AS size,
+            concat('http://r/', CAST(doc_id % 13 AS VARCHAR)) AS referer,
+            concat('ua-', CAST(doc_id % 7 AS VARCHAR)) AS agent,
+            CAST(1500322620 + doc_id % 60 AS BIGINT) AS tsec
+          FROM documents""",
+
+    "fb_parse_apache2" ->
+      s"""SELECT doc_id AS seq,
+            concat('host-a', CAST(doc_id % 89 AS VARCHAR)) AS host,
+            concat('u', CAST(doc_id % 29 AS VARCHAR)) AS usr,
+            'POST' AS method,
+            concat('/a2/', CAST(doc_id AS VARCHAR)) AS path,
+            ${Fixtures.duckdbCode} AS code,
+            CAST((doc_id * 41) % 997 AS VARCHAR) AS size,
+            concat('ref-', CAST(doc_id % 11 AS VARCHAR)) AS referer,
+            concat('agent ', CAST(doc_id % 5 AS VARCHAR), ' z') AS agent
+          FROM documents""",
+
+    "fb_parse_apache_error" ->
+      """SELECT doc_id AS seq,
+           concat('Jul 17 20:17:0', CAST(doc_id % 10 AS VARCHAR), ' 2017') AS time,
+           concat('lvl', CAST(doc_id % 4 AS VARCHAR)) AS level,
+           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE CAST(doc_id % 9999 AS VARCHAR) END AS pid,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE concat('10.0.0.', CAST(doc_id % 200 AS VARCHAR)) END AS client,
+           concat('core msg ', CAST(doc_id AS VARCHAR)) AS message
+         FROM documents""",
+
+    "fb_parse_docker_daemon" ->
+      s"""SELECT doc_id AS seq,
+            concat('2017-07-17T20:17:03.', ${Fixtures.duckdbMs3}) AS time,
+            'info' AS level,
+            concat('daemon event ', CAST(doc_id AS VARCHAR)) AS msg,
+            CAST(1500322623000000 + (doc_id % 1000) * 1000 AS BIGINT) AS tus
+          FROM documents""",
+
+    "fb_parse_rfc3164" ->
+      s"""SELECT doc_id AS seq,
+            CAST(doc_id % 192 AS VARCHAR) AS pri,
+            concat('Jul 17 20:17:', ${Fixtures.duckdbSs}) AS time,
+            concat('host-', CAST(doc_id % 50 AS VARCHAR)) AS host,
+            concat('app', CAST(doc_id % 20 AS VARCHAR)) AS ident,
+            CAST(doc_id % 999 AS VARCHAR) AS pid,
+            concat('message ', CAST(doc_id AS VARCHAR)) AS message,
+            CAST(1500322620 + doc_id % 60 AS BIGINT) AS tsec
+          FROM documents""",
+
+    "fb_parse_mongodb" ->
+      s"""SELECT doc_id AS seq,
+            concat('2017-07-17T20:17:03.', ${Fixtures.duckdbMs3}) AS time,
+            'I' AS severity,
+            'NETWORK' AS component,
+            concat('conn', CAST(doc_id % 100 AS VARCHAR)) AS context,
+            'query done' AS message,
+            CAST(doc_id % 500 AS VARCHAR) AS ms,
+            CAST(1500322623000000 + (doc_id % 1000) * 1000 AS BIGINT) AS tus
+          FROM documents""",
+
+    "fb_parse_json" ->
+      """SELECT doc_id AS seq,
+           CAST(doc_id % 100 AS BIGINT) AS k,
+           concat('n-', CAST(doc_id % 10 AS VARCHAR)) AS name,
+           CAST(1500322620 + doc_id % 60 AS BIGINT) AS tsec
+         FROM documents""",
+
+    "fb_parse_kube_test" ->
+      s"""SELECT doc_id AS seq,
+            concat('web-', CAST(doc_id % 10 AS VARCHAR)) AS pod_name,
+            concat('ns', CAST(doc_id % 5 AS VARCHAR)) AS namespace_name,
+            'nginx' AS container_name,
+            ${Fixtures.duckdbHex64} AS docker_id
+          FROM documents""",
+
+    "fb_parse_types" ->
+      """SELECT doc_id AS seq,
+           CAST(doc_id AS DOUBLE) + 0.25 AS v,
+           CAST(doc_id % 4096 AS BIGINT) AS f,
+           (doc_id % 2 = 0) AS b
+         FROM documents""",
 
     "fb_enrich_kube" ->
       s"""$tokCtes SELECT seq,
@@ -742,6 +952,16 @@ object SparkEntry {
 
     "fb_decode_escaped" ->
       """SELECT doc_id, concat('line1', chr(10), 'line2', chr(9), text) AS decoded
+         FROM documents""",
+
+    "fb_decode_chain" ->
+      """SELECT doc_id AS seq,
+           concat('{"k": "', CAST(doc_id % 100 AS VARCHAR), '", "msg": "m ',
+                  CAST(doc_id AS VARCHAR), '"}') AS log,
+           'stdout' AS stream,
+           CAST(doc_id % 100 AS VARCHAR) AS k,
+           concat('m ', CAST(doc_id AS VARCHAR)) AS msg,
+           CAST(4 AS INTEGER) AS nkeys
          FROM documents""",
 
     "fb_variant_json" ->

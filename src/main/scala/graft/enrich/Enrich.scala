@@ -42,16 +42,16 @@ object Enrich {
       .withColumn("_kmeta", meta)
       .withColumn("pod_key",
         when(col("_kmeta").isNotNull,
-          concat(col("_kmeta.podName"), lit("_"), col("_kmeta.namespaceName"))))
+          concat(col("_kmeta.pod_name"), lit("_"), col("_kmeta.namespace_name"))))
     val joined = withKey
       .join(broadcast(dim), Seq("pod_key"), "left")
       .withColumn("kubernetes",
         when(col("_kmeta").isNotNull, struct(
           Seq(
-            col("_kmeta.podName").as("pod_name"),
-            col("_kmeta.namespaceName").as("namespace_name"),
-            col("_kmeta.containerName").as("container_name"),
-            col("_kmeta.dockerId").as("docker_id")) ++ metaCols.map(col): _*)))
+            col("_kmeta.pod_name").as("pod_name"),
+            col("_kmeta.namespace_name").as("namespace_name"),
+            col("_kmeta.container_name").as("container_name"),
+            col("_kmeta.docker_id").as("docker_id")) ++ metaCols.map(col): _*)))
       .drop("_kmeta" +: metaCols: _*)
     if (applyExclude && metaCols.contains("annotations"))
       joined.filter(

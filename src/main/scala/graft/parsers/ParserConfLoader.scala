@@ -19,7 +19,14 @@ import graft.conf.ConfParser
   */
 object ParserConfLoader {
 
-  final case class DecoderRule(backend: String, key: String)
+  /** One decoder rule (`src/flb_parser_decoder.c:631-741` loader):
+    * `Decode_Field <backend> <key> [action]` (decoded JSON appended as
+    * EXTRA keys) vs `Decode_Field_As` (in-place value replacement), with
+    * optional `try_next` (on failure, try the next rule) / `do_next`
+    * (on success, keep going) action.
+    */
+  final case class DecoderRule(backend: String, key: String,
+                               action: String = "", inPlace: Boolean = true)
 
   /** Sanitize Onigmo group names for java.util.regex: `pod_name` →
     * `podname` inside the pattern (underscores are invalid in Java group
@@ -52,6 +59,14 @@ object ParserConfLoader {
           }.toMap).getOrElse(Map.empty)
         val timeKeep = s.get("Time_Keep").exists(v => v.equalsIgnoreCase("On") || v.equalsIgnoreCase("true"))
         val timeOffset = s.get("Time_Offset").map(graft.core.TimeParse.parseTzOffset).getOrElse(0)
+        // decoder rules in ENCOUNTER order (the chain is order-sensitive)
+        val decoders: Seq[DecoderRule] = s.entries.collect {
+          case (k, v) if k.equalsIgnoreCase("Decode_Field") || k.equalsIgnoreCase("Decode_Field_As") =>
+            val parts = v.trim.split("\\s+")
+            DecoderRule(backend = parts(0).toLowerCase, key = parts(1),
+              action = if (parts.length > 2) parts(2).toLowerCase else "",
+              inPlace = k.equalsIgnoreCase("Decode_Field_As"))
+        }
         name -> ParserDef(
           name = name,
           format = format,
@@ -61,6 +76,7 @@ object ParserConfLoader {
           timeKeep = timeKeep,
           timeOffsetSec = timeOffset,
           types = types,
+          decoders = decoders,
           fieldAliases = aliases.filter { case (k, v) => k != v },
           jsonSchema = if (format == JsonFormat) Some(StructType(Seq(
             // schema-on-read default for conf-loaded json parsers: common

@@ -32,6 +32,9 @@ final case class ParserDef(
     timeOffsetSec: Int = 0,
     // key -> integer|float|bool|hex|string (reference `flb_parser.c:301-353`)
     types: Map[String, String] = Map.empty,
+    // Decode_Field / Decode_Field_As rules in file order (applied to map
+    // records by graft.operators.DecoderChain)
+    decoders: Seq[ParserConfLoader.DecoderRule] = Nil,
     // flat JSON schema for Format json (schema-on-read projection)
     jsonSchema: Option[StructType] = None,
     // java-regex group name → ORIGINAL record key (Onigmo allows `_` in
@@ -162,12 +165,18 @@ object Parsers {
     timeKeep = true
   )
 
-  // conf/parsers.conf:84-87, same regex as kube_regex.h:26 — tag metadata extraction
-  val kubeTag = ParserDef(
-    name = "kube-custom",
-    format = RegexFormat,
-    regex = "var\\.log\\.containers\\.(?<podName>[a-z0-9]([-a-z0-9]*[a-z0-9])?(\\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_(?<namespaceName>[^_]+)_(?<containerName>.+)-(?<dockerId>[a-z0-9]{64})\\.log$"
-  )
+  // conf/parsers.conf:84-87, same regex as kube_regex.h:26 — tag metadata
+  // extraction; shipped group names carry underscores → sanitize + alias
+  // so the OUTPUT keys are the reference's (`pod_name`, …)
+  val kubeTag: ParserDef = {
+    val (rx, aliases) = ParserConfLoader.sanitizeGroupNames(
+      "var\\.log\\.containers\\.(?<pod_name>[a-z0-9]([-a-z0-9]*[a-z0-9])?(\\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_(?<namespace_name>[^_]+)_(?<container_name>.+)-(?<docker_id>[a-z0-9]{64})\\.log$")
+    ParserDef(
+      name = "kube-custom",
+      format = RegexFormat,
+      regex = rx,
+      fieldAliases = aliases.filter { case (k, v) => k != v })
+  }
 
   // conf/parsers.conf:33-41 (docker): json + Time_Keep + escaped-decoder on `log`
   val docker = ParserDef(
@@ -178,10 +187,100 @@ object Parsers {
     timeKeep = true,
     jsonSchema = Some(StructType(Seq(
       StructField("log", StringType), StructField("stream", StringType),
+      StructField("time", StringType)))),
+    decoders = Seq(ParserConfLoader.DecoderRule("escaped", "log"))
+  )
+
+  // conf/parsers.conf:8-14 — apache2: path is space-free `[^ ]*`, agent is
+  // greedy `.*`; no Types → all fields stay strings
+  val apache2 = ParserDef(
+    name = "apache2",
+    format = RegexFormat,
+    regex = "^(?<host>[^ ]*) [^ ]* (?<user>[^ ]*) \\[(?<time>[^\\]]*)\\] \"(?<method>\\S+)(?: +(?<path>[^ ]*) +\\S*)?\" (?<code>[^ ]*) (?<size>[^ ]*)(?: \"(?<referer>[^\\\"]*)\" \"(?<agent>.*)\")?$",
+    timeKey = Some("time"),
+    timeFormat = Some("%d/%b/%Y:%H:%M:%S %z")
+  )
+
+  // conf/parsers.conf:15-19 — apache_error: NO time config (the `time`
+  // group is an ordinary kept string field); pid/client optional
+  val apacheError = ParserDef(
+    name = "apache_error",
+    format = RegexFormat,
+    regex = "^\\[[^ ]* (?<time>[^\\]]*)\\] \\[(?<level>[^\\]]*)\\](?: \\[pid (?<pid>[^\\]]*)\\])?( \\[client (?<client>[^\\]]*)\\])? (?<message>.*)$"
+  )
+
+  // conf/parsers.conf:21-26
+  val nginx = ParserDef(
+    name = "nginx",
+    format = RegexFormat,
+    regex = "^(?<remote>[^ ]*) (?<host>[^ ]*) (?<user>[^ ]*) \\[(?<time>[^\\]]*)\\] \"(?<method>\\S+)(?: +(?<path>[^\\\"]*?)(?: +\\S*)?)?\" (?<code>[^ ]*) (?<size>[^ ]*)(?: \"(?<referer>[^\\\"]*)\" \"(?<agent>[^\\\"]*)\")?$",
+    timeKey = Some("time"),
+    timeFormat = Some("%d/%b/%Y:%H:%M:%S %z")
+  )
+
+  // conf/parsers.conf:27-32 — generic json: schema-on-read; callers supply
+  // the projection via `.copy(jsonSchema = ...)` (the reference keeps the
+  // map dynamic; a columnar engine projects)
+  val jsonGeneric = ParserDef(
+    name = "json",
+    format = JsonFormat,
+    timeKey = Some("time"),
+    timeFormat = Some("%d/%b/%Y:%H:%M:%S %z"),
+    jsonSchema = Some(StructType(Seq(
+      StructField("log", StringType), StructField("stream", StringType),
       StructField("time", StringType))))
   )
 
+  // conf/parsers.conf:43-50
+  val dockerDaemon = ParserDef(
+    name = "docker-daemon",
+    format = RegexFormat,
+    regex = "time=\"(?<time>[^ ]*)\" level=(?<level>[^ ]*) msg=\"(?<msg>[^ ].*)\"",
+    timeKey = Some("time"),
+    timeFormat = Some("%Y-%m-%dT%H:%M:%S.%L"),
+    timeKeep = true
+  )
+
+  // conf/parsers.conf:67-75 — rfc3164 WITH host; regex is slash-wrapped in
+  // the shipped file (stored that way here: cleanRegex strips, mirroring
+  // flb_regex.c:72-76); of the two Time_Format lines the FIRST wins
+  // (list order, flb_parser.c loader)
+  val syslogRfc3164 = ParserDef(
+    name = "syslog-rfc3164",
+    format = RegexFormat,
+    regex = "/^\\<(?<pri>[0-9]+)\\>(?<time>[^ ]* {1,2}[^ ]* [^ ]*) (?<host>[^ ]*) (?<ident>[a-zA-Z0-9_\\/\\.\\-]*)(?:\\[(?<pid>[0-9]+)\\])?(?:[^\\:]*\\:)? *(?<message>.*)$/",
+    timeKey = Some("time"),
+    timeFormat = Some("%b %d %H:%M:%S"),
+    timeKeep = true
+  )
+
+  // conf/parsers.conf:76-83 — lazy message + optional trailing `<ms>ms`
+  val mongodb = ParserDef(
+    name = "mongodb",
+    format = RegexFormat,
+    regex = "^(?<time>[^ ]*)\\s+(?<severity>\\w)\\s+(?<component>[^ ]+)\\s+\\[(?<context>[^\\]]+)]\\s+(?<message>.*?) *(?<ms>(\\d+))?(:?ms)?$",
+    timeKey = Some("time"),
+    timeFormat = Some("%Y-%m-%dT%H:%M:%S.%L"),
+    timeKeep = true
+  )
+
+  // conf/parsers.conf:89-91 — like kube-custom with a `.*kubernetes.`
+  // prefix; shipped group names carry underscores (Onigmo-legal,
+  // java.util.regex-illegal) → sanitize + alias, exactly like the loader
+  val filterKubeTest: ParserDef = {
+    val (rx, aliases) = ParserConfLoader.sanitizeGroupNames(
+      ".*kubernetes.(?<pod_name>[a-z0-9]([-a-z0-9]*[a-z0-9])?(\\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_(?<namespace_name>[^_]+)_(?<container_name>.+)-(?<docker_id>[a-z0-9]{64})\\.log$")
+    ParserDef(
+      name = "filter-kube-test",
+      format = RegexFormat,
+      regex = rx,
+      fieldAliases = aliases.filter { case (k, v) => k != v })
+  }
+
+  /** The full shipped corpus (`conf/parsers.conf:1-93`), 13 definitions. */
   val all: Map[String, ParserDef] =
-    Seq(apache, syslogRfc5424, syslogRfc3164Local, kubeTag, docker)
+    Seq(apache, apache2, apacheError, nginx, jsonGeneric, docker, dockerDaemon,
+      syslogRfc5424, syslogRfc3164Local, syslogRfc3164, mongodb, kubeTag,
+      filterKubeTest)
       .map(p => p.name -> p).toMap
 }

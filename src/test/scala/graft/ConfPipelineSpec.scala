@@ -69,6 +69,25 @@ class ConfPipelineSpec extends AnyFunSuite {
     assert(ts.getLong(0) == 1487239618L)
   }
 
+  test("shipped parsers.conf corpus: all 13 definitions load and match the Scala defs") {
+    val text = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/parsers_shipped.conf"), "UTF-8").mkString
+    val loaded = ParserConfLoader.load(text)
+    val defs = graft.parsers.Parsers.all
+    assert(loaded.keySet == defs.keySet)
+    loaded.foreach { case (n, l) =>
+      val d = defs(n)
+      assert(l.format == d.format, s"$n format")
+      assert(l.cleanRegex == d.cleanRegex, s"$n regex")
+      assert(l.timeKey == d.timeKey, s"$n timeKey")
+      assert(l.timeFormat == d.timeFormat, s"$n timeFormat (first Time_Format wins)")
+      assert(l.timeKeep == d.timeKeep, s"$n timeKeep")
+      assert(l.outputNames == d.outputNames, s"$n output keys")
+      if (l.format == graft.parsers.RegexFormat)
+        java.util.regex.Pattern.compile(l.cleanRegex) // Onigmo→Java compatible
+    }
+  }
+
   test("grep rules keep .conf encounter order: Exclude before Regex is decisive first (grep.c:130-205)") {
     val dir = Files.createTempDirectory("graft-conf-order").toString
     val lines = Seq(

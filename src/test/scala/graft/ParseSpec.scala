@@ -46,10 +46,10 @@ class ParseSpec extends AnyFunSuite {
     val tag = "var.log.containers.web-3_default_nginx-" + "0" * 64 + ".log"
     val row = Seq(tag).toDF("t")
       .select(Enrich.kubeMeta(col("t")).as("m")).select("m.*").collect()(0)
-    assert(row.getAs[String]("podName") == "web-3")
-    assert(row.getAs[String]("namespaceName") == "default")
-    assert(row.getAs[String]("containerName") == "nginx")
-    assert(row.getAs[String]("dockerId") == "0" * 64)
+    assert(row.getAs[String]("pod_name") == "web-3")
+    assert(row.getAs[String]("namespace_name") == "default")
+    assert(row.getAs[String]("container_name") == "nginx")
+    assert(row.getAs[String]("docker_id") == "0" * 64)
   }
 
   test("syslog rfc5424 parses with Time_Keep preserving the time field") {
