@@ -494,6 +494,18 @@ object SparkEntry {
           concat(lit("line1\\nline2\\t"), col("text"))).as("decoded"))
     }),
 
+    // -- ns-fidelity time envelope (struct flb_time): 9-digit %L fractions
+    //    kept at ns resolution, µs timestamp derived for windowing
+    "fb_time_ns" -> ((s, dir) => {
+      import graft.core.{FlbTime, TimeParse}
+      val f = Fixtures.seqs(s, dir).withColumn("raw", concat(
+        lit("2017-07-17T20:17:03."),
+        lpad(((col("seq") * 2654435761L) % 1000000000L).cast("string"), 9, "0")))
+      f.withColumn("t", TimeParse.parseNs(col("raw"), "%Y-%m-%dT%H:%M:%S.%L"))
+        .select(col("seq"), col("t.sec").as("sec"), col("t.nsec").as("nsec"),
+          unix_micros(FlbTime.toTimestamp(col("t"))).as("tus"))
+    }),
+
     // -- decoder rule CHAIN: Decode_Field_As escaped do_next + Decode_Field
     //    json (the docker shape) — in-place unescape, then decoded JSON keys
     //    appended as extra keys
@@ -952,6 +964,13 @@ object SparkEntry {
 
     "fb_decode_escaped" ->
       """SELECT doc_id, concat('line1', chr(10), 'line2', chr(9), text) AS decoded
+         FROM documents""",
+
+    "fb_time_ns" ->
+      """SELECT doc_id AS seq,
+           CAST(1500322623 AS BIGINT) AS sec,
+           CAST((doc_id * 2654435761) % 1000000000 AS INTEGER) AS nsec,
+           CAST(1500322623000000 + ((doc_id * 2654435761) % 1000000000) // 1000 AS BIGINT) AS tus
          FROM documents""",
 
     "fb_decode_chain" ->

@@ -81,18 +81,11 @@ object TimeParse {
     out.toString.replace("''", "") // merge adjacent quoted literals
   }
 
-  /** Parse `raw` with strptime format `fmt`.
-    *
-    * @param fmt       strptime format, possibly containing `%L` and/or
-    *                  lacking `%Y`.
-    * @param tzOffsetSec fixed UTC offset seconds applied when the format
-    *                  carries no `%z` (reference `Time_Offset`,
-    *                  `flb_parser.c:588-608`); 0 = UTC.
-    * @return TimestampType column (µs precision — the reference carries ns,
-    *         see SURVEY §1.3; µs is Spark's native resolution and the
-    *         fixtures use ≤ms).
+  /** Shared parse core: (whole-second timestamp, fractional-digit string).
+    * The fraction keeps its raw digits so callers pick their resolution
+    * (µs for Spark timestamps, ns for the flb_time envelope).
     */
-  def parse(raw: Column, fmt: String, tzOffsetSec: Int = 0): Column = {
+  private def parseParts(raw: Column, fmt: String, tzOffsetSec: Int): (Column, Column) = {
     val hasYear = fmt.contains("%Y") || fmt.contains("%y")
     val hasFrac = fmt.contains("%L")
     val hasTz = fmt.contains("%z")
@@ -120,9 +113,39 @@ object TimeParse {
     val shifted =
       if (hasTz || tzOffsetSec == 0) base
       else timestamp_micros(unix_micros(base) - tzOffsetSec * 1000000L)
-    if (hasFrac) {
+    (shifted, frac)
+  }
+
+  /** Parse `raw` with strptime format `fmt`.
+    *
+    * @param fmt       strptime format, possibly containing `%L` and/or
+    *                  lacking `%Y`.
+    * @param tzOffsetSec fixed UTC offset seconds applied when the format
+    *                  carries no `%z` (reference `Time_Offset`,
+    *                  `flb_parser.c:588-608`); 0 = UTC.
+    * @return TimestampType column (µs precision — Spark's native
+    *         resolution; [[parseNs]] carries the full flb_time envelope).
+    */
+  def parse(raw: Column, fmt: String, tzOffsetSec: Int = 0): Column = {
+    val (shifted, frac) = parseParts(raw, fmt, tzOffsetSec)
+    if (fmt.contains("%L")) {
       val micros = (concat(lit("0."), when(frac === "", "0").otherwise(frac)).cast("double") * 1000000L).cast("long")
       timestamp_micros(unix_micros(shifted) + micros)
     } else shifted
+  }
+
+  /** Parse to the full-precision `struct<sec:long, nsec:int>` envelope
+    * (`struct flb_time`, reference `include/fluent-bit/flb_time.h:30-38`):
+    * `%L` digits are kept at NANOSECOND resolution (`flb_parser.c:679-709`
+    * hand-parses up to 9 fraction digits), which µs `TimestampType` would
+    * truncate. Derive a windowing timestamp with [[FlbTime.toTimestamp]].
+    */
+  def parseNs(raw: Column, fmt: String, tzOffsetSec: Int = 0): Column = {
+    val (shifted, frac) = parseParts(raw, fmt, tzOffsetSec)
+    val nsec =
+      if (!fmt.contains("%L")) lit(0L)
+      else when(frac === "", 0L)
+        .otherwise(rpad(substring(frac, 1, 9), 9, "0").cast("long"))
+    FlbTime(unix_seconds(shifted), nsec)
   }
 }

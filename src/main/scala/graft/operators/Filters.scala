@@ -169,11 +169,42 @@ object Nest {
 object Throttle {
   import org.apache.spark.sql.expressions.Window
 
+  /** Exact single-phase formulation: one window per pane. A hot pane is
+    * ranked on ONE task — fine when panes are short relative to rate, a
+    * straggler when a single pane holds billions of rows; use [[scalable]]
+    * there (identical output).
+    */
   def apply(tsCol: String, tieBreak: String, intervalSec: Int, ratePerSec: Double)(df: DataFrame): DataFrame = {
     val pane = (unix_timestamp(col(tsCol)) / intervalSec).cast("long")
     val w = Window.partitionBy(pane).orderBy(col(tsCol), col(tieBreak))
     val cap = math.max(1L, (ratePerSec * intervalSec).toLong)
     df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
+  /** Scale-safe two-phase variant — EXACTLY equivalent to [[apply]]:
+    *
+    * Phase 1 ranks within (pane, salt) — `salts`-way parallel per pane —
+    * and keeps each salt group's first `cap` rows: any row in the pane's
+    * global first `cap` has fewer than `cap` rows before it in its OWN
+    * salt group, so every global survivor survives phase 1 (the quota
+    * never cuts a true survivor). Phase 2 re-ranks the ≤ salts·cap
+    * survivors per pane — a bounded window, never a billion-row task.
+    *
+    * Shuffle cost: two exchanges of (pane,salt)/(pane) keys, but the
+    * second input is capped at salts·cap rows per pane.
+    */
+  def scalable(tsCol: String, tieBreak: String, intervalSec: Int,
+               ratePerSec: Double, salts: Int = 32)(df: DataFrame): DataFrame = {
+    val pane = (unix_timestamp(col(tsCol)) / intervalSec).cast("long")
+    val cap = math.max(1L, (ratePerSec * intervalSec).toLong)
+    val salt = pmod(xxhash64(col(tieBreak)), lit(salts.toLong))
+    val w1 = Window.partitionBy(pane, salt).orderBy(col(tsCol), col(tieBreak))
+    val survivors = df.withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= cap).drop("_rn1")
+    val w2 = Window.partitionBy(pane).orderBy(col(tsCol), col(tieBreak))
+    survivors.withColumn("_rn", row_number().over(w2))
       .filter(col("_rn") <= cap)
       .drop("_rn")
   }

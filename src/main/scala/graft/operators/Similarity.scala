@@ -130,18 +130,45 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: same-bucket pairs with cosine above a
-    * threshold — the embedding-cosine dedup path (bucket join, never an
+    * threshold — the embedding-cosine dedup path (bucket grouping, never an
     * all-pairs product).
+    *
+    * Scale shape mirrors [[graft.operators.Dedup.lshCandidatePairs]]: ONE
+    * shuffle groups (id, vec) per bucket, pairs expand inside each bucket,
+    * and `maxBucket` caps degenerate buckets — with only 2^planes buckets
+    * an all-similar corpus would otherwise go B² in its hottest bucket
+    * (each kept bucket yields ≤ maxBucket·(maxBucket−1)/2 pairs, a hard
+    * bound independent of corpus size). Rows beyond the cap are DROPPED
+    * from pairing (sorted by id, so the kept prefix is deterministic);
+    * audit truncation with [[srpBucketStats]] before relying on recall.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, planes: Int = 8): DataFrame = {
+                            threshold: Double, planes: Int = 8,
+                            maxBucket: Int = 1000): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("_bucket", srpBucket(col("v"), planes))
-    val l = b.as("l")
-    val r = b.as("r")
-    l.join(r, col("l._bucket") === col("r._bucket") && col("l.id") < col("r.id"))
-      .withColumn("cos", cosine(col("l.v"), col("r.v")))
+    val buckets = b
+      .groupBy(col("_bucket"))
+      .agg(array_sort(collect_list(struct(col("id"), col("v")))).as("items"))
+      .filter(size(col("items")) > 1)
+      .withColumn("items", slice(col("items"), 1, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(slice(col("items"), i + 2, lit(maxBucket)), bb =>
+          struct(a.getField("id").as("id_a"), bb.getField("id").as("id_b"),
+            a.getField("v").as("va"), bb.getField("v").as("vb")))))).as("p"))
+      .withColumn("cos", cosine(col("p.va"), col("p.vb")))
       .filter(col("cos") >= threshold)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cos"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("cos"))
   }
+
+  /** Bucket-size audit for the SRP paths: (bucket, n, truncated) — run
+    * before [[embeddingNearDupPairs]]/[[lshTopK]] to see how much a
+    * `maxBucket` cap would drop (the no-silent-caps companion).
+    */
+  def srpBucketStats(df: DataFrame, vecCol: String, planes: Int,
+                     maxBucket: Int): DataFrame =
+    df.select(srpBucket(col(vecCol), planes).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("truncated", col("n") > maxBucket)
 }

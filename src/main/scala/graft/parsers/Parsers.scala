@@ -108,6 +108,15 @@ final case class ParserDef(
     case _ => lit(null).cast(TimestampType)
   }
 
+  /** Full-precision `struct<sec,nsec>` envelope (SURVEY §1.3) from an
+    * already-parsed struct — `%L` digits kept at ns resolution.
+    */
+  def eventTimeNsFrom(parsedCol: Column): Column = (timeKey, timeFormat) match {
+    case (Some(tk), Some(tf)) if timeKeep =>
+      TimeParse.parseNs(parsedCol.getField(tk), tf, timeOffsetSec)
+    case _ => lit(null).cast("struct<sec:bigint,nsec:int>")
+  }
+
   /** Event-time column extracted per Time_Key/Time_Format (null when the
     * parse missed or the parser has no time config).
     */

@@ -33,7 +33,11 @@ final case class PipelineSpec(
     parser: ParserDef = Parsers.apache,
     grep: Seq[Grep.Rule] = Nil,
     sinks: Seq[SinkSpec] = Nil,
-    enrichDim: Option[DataFrame] = None)
+    enrichDim: Option[DataFrame] = None,
+    // carry the ns-fidelity struct<sec,nsec> envelope (`event_time`) plus
+    // a derived µs `event_ts` for windowing; derived from the SAME parse
+    // (timeKeep forced on — no second regex run)
+    eventTimeNs: Boolean = false)
 
 object Pipeline {
 
@@ -42,8 +46,15 @@ object Pipeline {
     * raw columns).
     */
   def transform(df: DataFrame, spec: PipelineSpec): DataFrame = {
-    val parsed = df.withColumn("parsed", spec.parser.parsed(col(spec.parseCol)))
-    val target = parsed
+    val parser =
+      if (spec.eventTimeNs) spec.parser.copy(timeKeep = true) else spec.parser
+    val parsed0 = df.withColumn("parsed", parser.parsed(col(spec.parseCol)))
+    val target =
+      if (spec.eventTimeNs)
+        parsed0
+          .withColumn("event_time", parser.eventTimeNsFrom(col("parsed")))
+          .withColumn("event_ts", graft.core.FlbTime.toTimestamp(col("event_time")))
+      else parsed0
     val kept =
       if (spec.grep.isEmpty) target
       else target.filter(Grep.keepPredicate(spec.grep,

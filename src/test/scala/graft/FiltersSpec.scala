@@ -147,4 +147,20 @@ class FiltersSpec extends AnyFunSuite {
     val kept = out.select("id").as[Long].collect().sorted.toSeq
     assert(kept.take(6) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
   }
+
+  test("two-phase scalable throttle is row-identical to the exact formulation") {
+    // skewed panes: pane 0 holds 500 rows, pane 1 holds 7 — both above and
+    // below the cap, plus intra-second ties broken by id
+    val rows = (0 until 500).map(i => (java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:00:${i % 60}%02d"), i.toLong)) ++
+      (0 until 7).map(i => (java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:01:${i}%02d"), (1000 + i).toLong))
+    val df = rows.toDF("ts", "id").repartition(8)
+    val exact = Throttle.apply("ts", "id", 60, 0.2)(df)
+      .select("id").as[Long].collect().sorted.toSeq
+    val twoPhase = Throttle.scalable("ts", "id", 60, 0.2, salts = 4)(df)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(twoPhase == exact)
+    assert(exact.size == 12 + 7) // pane 0 capped at 12, pane 1 under cap
+  }
 }

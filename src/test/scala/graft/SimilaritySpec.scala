@@ -51,6 +51,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)))
   }
 
+  test("embeddingNearDupPairs: degenerate bucket capped — no B² blowup on an all-identical corpus") {
+    val same = Seq(1f, 2f, -0.5f, 3f)
+    val df = (0 until 200).map(i => (i.toLong, same)).toDF("id", "v")
+    val pairs = Similarity.embeddingNearDupPairs(df, "id", "v", 0.0, maxBucket = 50)
+    // C(50,2) = 1225 pairs from the kept prefix — NOT C(200,2) = 19900
+    assert(pairs.count() == 1225L)
+    // deterministic kept prefix: the 50 smallest ids
+    val maxId = pairs.agg(max(col("id_b"))).as[Long].collect()(0)
+    assert(maxId == 49L)
+    // and the audit surface reports the truncation
+    val stats = Similarity.srpBucketStats(df, "v", 8, 50)
+      .filter(col("truncated")).as[(Long, Long, Boolean)].collect()
+    assert(stats.length == 1 && stats(0)._2 == 200L)
+  }
+
+  test("embeddingNearDupPairs equals the naive same-bucket self-join when no bucket hits the cap") {
+    val vecs = (0 until 60).map(i => (i.toLong, Seq.tabulate(6)(d => math.sin(i * 6 + d).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val got = Similarity.embeddingNearDupPairs(df, "id", "v", -1.0, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val b = df.withColumn("_b", Similarity.srpBucket(col("v"), 4))
+    val expected = b.as("l").join(b.as("r"),
+        col("l._b") === col("r._b") && col("l.id") < col("r.id"))
+      .select(col("l.id"), col("r.id")).as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("ivfAssign picks the nearest centroid; ivfTopK searches only the cell") {
     // centroids at (1,0) and (0,1); vectors cluster around each
     val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("cent_id", "cvec")
