@@ -102,8 +102,7 @@ object SparkEntry {
       val kept = t.filter(Parsers.apache.parsed(col("doc_id")).getField("code") >= 500)
       Router.fanOut(kept, "source", sinkSpecs)
         .select(col("seq"), col("sink"), col("n_tok"),
-          aggregate(col("tokens"), lit(0L),
-            (h, tk) => (h * 31L + tk) % lit(TextAnalysis.P)).as("tok_hash"))
+          graft.functions.TokenFold(col("tokens")).as("tok_hash"))
     }),
 
     // -- parser corpus (the remaining shipped parsers.conf definitions,

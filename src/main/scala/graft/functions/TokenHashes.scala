@@ -112,3 +112,41 @@ object SimHash64 {
   def apply(c: Column, bits: Int): Column =
     GraftShim.column(SimHash64(GraftShim.expression(c), bits))
 }
+
+/** Per-row token digest: left fold h ← (h·31 + t) mod P over the int
+  * token array — the portable per-row invariant the BASELINE token-
+  * passthrough check compares across engines (DuckDB recomputes it with
+  * `list_reduce`). Fused for the same CodegenFallback reason as above.
+  */
+case class TokenFold(child: Expression) extends UnaryExpression {
+  import MinHashSig.P
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  def convert(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * 31L + arr.getInt(i)) % P
+      i += 1
+    }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any = convert(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tf", this, classOf[TokenFold].getName)
+    defineCodeGen(ctx, ev, input => s"$ref.convert($input)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenFold {
+  def apply(c: Column): Column =
+    GraftShim.column(TokenFold(GraftShim.expression(c)))
+}

@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused vector math for the similarity/ANN paths. The composable
+  * `zip_with`/`aggregate` formulations are higher-order functions —
+  * CodegenFallback, interpreted per ELEMENT (measured ~25× slower, see
+  * [[TokenHashes]]) — these run one tight JVM loop per row.
+  *
+  * Floating-point semantics are IDENTICAL to the column formulations (and
+  * the DuckDB oracles): each sum is its own accumulator folded
+  * left-to-right in element order, so results are bit-exact equal.
+  * Length-mismatched or null-element inputs yield null (zip_with padding
+  * semantics).
+  */
+private[graft] object VecMath {
+  /** element accessor for float/double arrays */
+  def getter(t: DataType): (ArrayData, Int) => Double = t match {
+    case ArrayType(FloatType, _)  => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i).toDouble
+    case other => throw new IllegalArgumentException(s"vector type $other")
+  }
+}
+
+/** Σ aᵢ·bᵢ — one pass, sequential fold. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val getL = VecMath.getter(left.dataType)
+  @transient private lazy val getR = VecMath.getter(right.dataType)
+
+  def compute(ao: Any, bo: Any): Any = {
+    val a = ao.asInstanceOf[ArrayData]
+    val b = bo.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      d += getL(a, i) * getR(b, i)
+      i += 1
+    }
+    java.lang.Double.valueOf(d)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dot", this, classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |Object r = $ref.compute($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity in ONE pass: dot, |a|², |b|² accumulated together
+  * (three independent accumulators, element order — bit-equal to three
+  * separate folds); null when either norm is 0.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val getL = VecMath.getter(left.dataType)
+  @transient private lazy val getR = VecMath.getter(right.dataType)
+
+  def compute(ao: Any, bo: Any): Any = {
+    val a = ao.asInstanceOf[ArrayData]
+    val b = bo.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = getL(a, i)
+      val y = getR(b, i)
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val sna = math.sqrt(na)
+    val snb = math.sqrt(nb)
+    if (sna > 0 && snb > 0) java.lang.Double.valueOf(d / (sna * snb)) else null
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cos", this, classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |Object r = $ref.compute($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σ (aᵢ−bᵢ)² — one pass. */
+case class L2Squared(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val getL = VecMath.getter(left.dataType)
+  @transient private lazy val getR = VecMath.getter(right.dataType)
+
+  def compute(ao: Any, bo: Any): Any = {
+    val a = ao.asInstanceOf[ArrayData]
+    val b = bo.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val dl = getL(a, i) - getR(b, i)
+      s += dl * dl
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2", this, classOf[L2Squared].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |Object r = $ref.compute($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sign-random-projection bucket id over `planes` deterministic
+  * hyperplanes (weight (p,d) = ((p·8191+d)·2654435761 mod 2001 − 1000)
+  * / 1000): ONE pass over the vector accumulates all `planes` projections
+  * in element order — per-projection sums are bit-equal to the per-plane
+  * sequential folds of the column formulation.
+  */
+case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  @transient private lazy val get = VecMath.getter(child.dataType)
+
+  def compute(ao: Any): Any = {
+    val a = ao.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val proj = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = get(a, i)
+      var p = 0
+      while (p < planes) {
+        val w = (((p * 8191L + i) * 2654435761L) % 2001L) - 1000L
+        proj(p) += x * (w.toDouble / 1000.0)
+        p += 1
+      }
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      if (proj(p) > 0) bucket |= 1L << p
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srp", this, classOf[SrpBucket].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |Object r = $ref.compute($a);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VecMathFunctions {
+  def dot(a: Column, b: Column): Column =
+    GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+  def l2sq(a: Column, b: Column): Column =
+    GraftShim.column(L2Squared(GraftShim.expression(a), GraftShim.expression(b)))
+  def srpBucket(v: Column, planes: Int): Column =
+    GraftShim.column(SrpBucket(GraftShim.expression(v), planes))
+}

@@ -17,18 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a sequential left fold (deterministic fp order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as a sequential left fold (deterministic fp order). Fused
+    * one-pass expression — the composable [[dotColumns]] is a
+    * CodegenFallback higher-order function, interpreted per element;
+    * values are bit-identical (same fold order).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecMathFunctions.dot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity (null when either norm is 0). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = sqrt(norm2(a))
-    val nb = sqrt(norm2(b))
+  /** Cosine similarity (null when either norm is 0) — dot and both norms
+    * accumulated in ONE fused pass.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecMathFunctions.cosine(a, b)
+
+  /** Reference column formulation of [[dot]] (spec cross-check). */
+  private[graft] def dotColumns(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Reference column formulation of [[cosine]] (spec cross-check). */
+  private[graft] def cosineColumns(a: Column, b: Column): Column = {
+    val d = dotColumns(a, b)
+    val na = sqrt(dotColumns(a, a))
+    val nb = sqrt(dotColumns(b, b))
     when(na > 0 && nb > 0, d / (na * nb))
   }
 
@@ -57,9 +70,15 @@ object Similarity {
     ((((lit(p.toLong) * 8191L + d) * 2654435761L) % 2001L) - 1000L).cast("double") / 1000.0
 
   /** Sign-random-projection LSH bucket id over `planes` hyperplanes:
-    * bit p = [Σ_d v_d · w(p,d) > 0]. One narrow projection per row.
+    * bit p = [Σ_d v_d · w(p,d) > 0]. Fused: ONE pass over the vector
+    * accumulates every plane's projection (per-plane fold order unchanged
+    * → bit-identical to [[srpBucketColumns]] and the DuckDB oracle).
     */
-  def srpBucket(vec: Column, planes: Int): Column = {
+  def srpBucket(vec: Column, planes: Int): Column =
+    graft.functions.VecMathFunctions.srpBucket(vec, planes)
+
+  /** Reference column formulation of [[srpBucket]] (spec cross-check). */
+  private[graft] def srpBucketColumns(vec: Column, planes: Int): Column = {
     val terms = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
@@ -91,7 +110,10 @@ object Similarity {
   }
 
   /** Squared L2 distance (sequential fold — engine-portable like [[dot]]). */
-  def l2sq(a: Column, b: Column): Column =
+  def l2sq(a: Column, b: Column): Column = graft.functions.VecMathFunctions.l2sq(a, b)
+
+  /** Reference column formulation of [[l2sq]] (spec cross-check). */
+  private[graft] def l2sqColumns(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
 

@@ -41,6 +41,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b.values.forall(x => x >= 0 && x < 256))
   }
 
+  test("fused vector math is BIT-IDENTICAL to the zip_with/aggregate column formulations") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val a = e.as("a"); val b = e.as("b")
+    val paired = a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+    val diff = paired.select(
+      (Similarity.dot(col("a.embedding"), col("b.embedding")) <=>
+        Similarity.dotColumns(col("a.embedding"), col("b.embedding"))).as("d"),
+      (Similarity.cosine(col("a.embedding"), col("b.embedding")) <=>
+        Similarity.cosineColumns(col("a.embedding"), col("b.embedding"))).as("c"),
+      (Similarity.l2sq(col("a.embedding"), col("b.embedding")) <=>
+        Similarity.l2sqColumns(col("a.embedding"), col("b.embedding"))).as("l"),
+      (Similarity.srpBucket(col("a.embedding"), 8) <=>
+        Similarity.srpBucketColumns(col("a.embedding"), 8)).as("s"))
+    assert(diff.filter(!col("d") || !col("c") || !col("l") || !col("s")).count() == 0)
+    // degenerate inputs: zero vector → null cosine; empty → bucket 0
+    import spark.implicits._
+    val z = Seq((Seq(0f, 0f), Seq(1f, 1f)), (Seq.empty[Float], Seq.empty[Float])).toDF("x", "y")
+    val got = z.select(Similarity.cosine(col("x"), col("y")).as("c"),
+      Similarity.srpBucket(col("x"), 4).as("b")).collect()
+    assert(got(0).isNullAt(0) && got(0).getLong(1) == 0L)
+    assert(got(1).isNullAt(0) && got(1).getLong(1) == 0L)
+  }
+
   test("embeddingNearDupPairs finds an exact duplicate vector pair") {
     val dup = Seq(0.5f, -1f, 2f, 0.25f)
     val rows = (0 until 20).map(i => (i.toLong, Seq.tabulate(4)(d => (i * 4 + d + 1).toFloat))) ++
