@@ -33,7 +33,12 @@ object ParserFilter {
     val out = df
       .withColumn("_p", parser.parsed(raw))
       .withColumn(recordCol, {
-        val parsedMap = structToMap(parser, col("_p"))
+        // decoder rules run INSIDE the parse, on the parsed map, before
+        // Reserve_Data merging (flb_parser_do → flb_parser_decoder_do)
+        val parsedMap0 = structToMap(parser, col("_p"))
+        val parsedMap =
+          if (parser.decoders.isEmpty) parsedMap0
+          else DecoderChain(parsedMap0, parser.decoders)
         val withoutKey = map_filter(rec, (k, _) => k =!= keyName)
         // MapType cannot hold duplicate keys (map_concat throws): reserve
         // appends only original keys the parse did not produce — the
@@ -56,6 +61,11 @@ object ParserFilter {
   /** Fixed-schema face: appends each parsed group as `<prefix><group>`
     * typed column, a `parse_ok` flag, and (when the parser has time
     * config) overrides `tsCol` with the parsed event time on success.
+    *
+    * Decoder rules: the fixed schema applies the IN-PLACE string backends
+    * (`Decode_Field_As escaped/escaped_utf8`) to their columns; the
+    * extra-keys `Decode_Field json` machinery needs the dynamic record —
+    * use [[onMap]] (which runs the full [[DecoderChain]]) for those.
     */
   def flatten(keyName: String, parser: ParserDef, tsCol: Option[String] = None,
               prefix: String = "")(df: DataFrame): DataFrame = {
@@ -63,8 +73,17 @@ object ParserFilter {
     val p = parser.parsed(raw)
     val names = parser.outputNames
     val withParsed = df.withColumn("_p", p)
-    val withCols = names.foldLeft(withParsed)((d, n) =>
+    val withCols0 = names.foldLeft(withParsed)((d, n) =>
       d.withColumn(s"$prefix$n", col("_p").getField(n)))
+    val withCols = parser.decoders.filter(_.inPlace).foldLeft(withCols0) { (d, r) =>
+      val c = s"$prefix${r.key}"
+      if (!d.columns.contains(c)) d
+      else r.backend match {
+        case "escaped"      => d.withColumn(c, graft.functions.Decoders.escaped(col(c)))
+        case "escaped_utf8" => d.withColumn(c, graft.functions.Decoders.escapedUtf8(col(c)))
+        case _              => d
+      }
+    }
     val withOk = withCols.withColumn("parse_ok", col("_p").isNotNull)
     val withTs = tsCol match {
       case Some(t) if parser.timeKey.isDefined =>

@@ -72,6 +72,19 @@ class ParserFilterSpec extends AnyFunSuite {
     assert(out(2L).getTimestamp(3).getTime == java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime)
   }
 
+  test("parser filter runs the parser's decoder chain: docker json + Decode_Field_As escaped log") {
+    // docker record: json parse, then the shipped decoder unescapes `log`
+    val raw = """{"log": "line1\\nline2", "stream": "stdout", "time": "2017-07-17T20:17:03.0Z"}"""
+    val df = Seq(1).toDF("id").withColumn("record", map(lit("payload"), lit(raw)))
+    val out = getMap(ParserFilter.onMap("record", "payload", Parsers.docker)(df))
+    assert(out("log") == "line1\nline2") // \\n in JSON = \n after parse, decoder → newline
+    assert(out("stream") == "stdout")
+    // flatten face applies the in-place backend to the flat column too
+    val flat = ParserFilter.flatten("payload", Parsers.docker)(
+      Seq(raw).toDF("payload"))
+    assert(flat.select("log").as[String].collect()(0) == "line1\nline2")
+  }
+
   test("escaped decoder: sequential C-escape semantics (docker log field)") {
     val df = Seq("""line1\nline2\ttab\\literal""").toDF("s")
     val got = df.select(Decoders.escaped(col("s"))).as[String].collect()(0)
