@@ -493,6 +493,21 @@ object SparkEntry {
           concat(lit("line1\\nline2\\t"), col("text"))).as("decoded"))
     }),
 
+    // -- forward-protocol wire format: one frame per row (batch = seq),
+    //    compared as hex — DuckDB reconstructs the msgpack bytes from the
+    //    layout constants + to_hex arithmetic
+    "fb_forward_frame" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).select(
+        col("seq"), lit("x").as("tag"),
+        (lit(TokenTable.BaseEpoch) + col("seq") % 3600).as("sec"),
+        lit(0).as("nsec"),
+        map(lit("k"), col("seq").cast("string")).as("rec"))
+      graft.sinks.Forward.frames(f, "tag", "sec", "nsec", "rec", "seq",
+          batchCols = Seq(col("seq")))
+        .select(col("seq"), col("n_entries"),
+          lower(hex(col("frame"))).as("frame_hex"))
+    }),
+
     // -- ns-fidelity time envelope (struct flb_time): 9-digit %L fractions
     //    kept at ns resolution, µs timestamp derived for windowing
     "fb_time_ns" -> ((s, dir) => {
@@ -963,6 +978,23 @@ object SparkEntry {
 
     "fb_decode_escaped" ->
       """SELECT doc_id, concat('line1', chr(10), 'line2', chr(9), text) AS decoded
+         FROM documents""",
+
+    "fb_forward_frame" ->
+      """SELECT doc_id AS seq,
+           CAST(1 AS BIGINT) AS n_entries,
+           concat(
+             '92',                                                   -- fixarray 2 (frame)
+             'a178',                                                 -- fixstr 'x' (tag)
+             '91',                                                   -- fixarray 1 (entries)
+             '92',                                                   -- fixarray 2 (entry)
+             'd700',                                                 -- fixext8 EventTime header
+             lpad(lower(to_hex(1500322623 + doc_id % 3600)), 8, '0'),
+             '00000000',                                             -- nsec = 0
+             '81a16b',                                               -- fixmap1, key 'k'
+             lower(to_hex(160 + length(CAST(doc_id AS VARCHAR)))),   -- fixstr header (value)
+             lower(hex(encode(CAST(doc_id AS VARCHAR))))             -- value bytes
+           ) AS frame_hex
          FROM documents""",
 
     "fb_time_ns" ->

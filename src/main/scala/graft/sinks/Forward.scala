@@ -1,0 +1,174 @@
+package graft.sinks
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.FlbTime
+
+/** Fluentd Forward-protocol WIRE FORMAT (the compute half of the
+  * reference's `out_forward` — the TCP/TLS socket itself stays a declared
+  * network non-goal, SURVEY §2.6):
+  *
+  *   frame  = msgpack `[tag:str, [entry, …]]`
+  *            (`plugins/out_forward/forward.c:575-578`)
+  *   entry  = `[time, record-map]` where time is the EventTime fixext8
+  *            (default; `flb_time_append_to_msgpack`, `src/flb_time.c:
+  *            102-146`) or a plain integer when `Time_as_Integer On`
+  *            (`forward.c:491-493`).
+  *
+  * Minimal-size encodings like msgpack-c's pack templates (fixstr/str8/16/
+  * 32, positive fixint/uint8/16/32/64, fixmap/map16/32, fixarray/array16/
+  * 32). Records are the engine's `map<string,string>` carrier.
+  */
+object Msgpack {
+
+  def packStr(out: ByteArrayOutputStream, s: Array[Byte]): Unit = {
+    val n = s.length
+    if (n < 32) out.write(0xa0 | n)
+    else if (n < 256) { out.write(0xd9); out.write(n) }
+    else if (n < 65536) { out.write(0xda); out.write(n >> 8); out.write(n & 0xff) }
+    else { out.write(0xdb); writeBe32(out, n.toLong) }
+    out.write(s, 0, n)
+  }
+
+  def packUint(out: ByteArrayOutputStream, v: Long): Unit = {
+    require(v >= 0, s"uint expected, got $v")
+    if (v < 128) out.write(v.toInt)
+    else if (v < 256) { out.write(0xcc); out.write(v.toInt) }
+    else if (v < 65536) { out.write(0xcd); out.write((v >> 8).toInt); out.write((v & 0xff).toInt) }
+    else if (v < 4294967296L) { out.write(0xce); writeBe32(out, v) }
+    else { out.write(0xcf); writeBe32(out, v >>> 32); writeBe32(out, v & 0xffffffffL) }
+  }
+
+  def packMapHeader(out: ByteArrayOutputStream, n: Int): Unit =
+    if (n < 16) out.write(0x80 | n)
+    else if (n < 65536) { out.write(0xde); out.write(n >> 8); out.write(n & 0xff) }
+    else { out.write(0xdf); writeBe32(out, n.toLong) }
+
+  def packArrayHeader(out: ByteArrayOutputStream, n: Int): Unit =
+    if (n < 16) out.write(0x90 | n)
+    else if (n < 65536) { out.write(0xdc); out.write(n >> 8); out.write(n & 0xff) }
+    else { out.write(0xdd); writeBe32(out, n.toLong) }
+
+  private def writeBe32(out: ByteArrayOutputStream, v: Long): Unit = {
+    out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+    out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+  }
+}
+
+/** One forward entry `[time, record]` as a binary column value. */
+case class ForwardEntry(first: Expression, second: Expression, third: Expression,
+                        timeAsInteger: Boolean)
+    extends TernaryExpression {
+  // children: (sec: long, nsec: int, record: map<string,string>)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  def convert(sec: Long, nsec: Int, rec: MapData): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    Msgpack.packArrayHeader(out, 2)
+    if (timeAsInteger) Msgpack.packUint(out, sec) // forward.c:491-493
+    else out.write(FlbTime.packEventTime(sec, nsec.toLong & 0xffffffffL), 0, 10)
+    val n = rec.numElements()
+    Msgpack.packMapHeader(out, n)
+    val ks = rec.keyArray()
+    val vs = rec.valueArray()
+    var i = 0
+    while (i < n) {
+      Msgpack.packStr(out, ks.getUTF8String(i).getBytes)
+      Msgpack.packStr(out, vs.getUTF8String(i).getBytes)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  override def nullSafeEval(sec: Any, nsec: Any, rec: Any): Any =
+    convert(sec.asInstanceOf[Long], nsec.asInstanceOf[Int], rec.asInstanceOf[MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fe", this, classOf[ForwardEntry].getName)
+    nullSafeCodeGen(ctx, ev, (s, n, r) =>
+      s"${ev.value} = $ref.convert($s, $n, $r);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** The full frame `[tag, entries]` from a tag and an array of
+  * already-encoded entry buffers.
+  */
+case class ForwardFrame(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  def convert(tag: UTF8String, entries: ArrayData): Array[Byte] = {
+    val out = new ByteArrayOutputStream(256)
+    Msgpack.packArrayHeader(out, 2)           // forward.c:575
+    Msgpack.packStr(out, tag.getBytes)        // :576-577
+    val n = entries.numElements()
+    Msgpack.packArrayHeader(out, n)           // :578
+    var i = 0
+    while (i < n) {
+      val e = entries.getBinary(i)
+      out.write(e, 0, e.length)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  override def nullSafeEval(tag: Any, entries: Any): Any =
+    convert(tag.asInstanceOf[UTF8String], entries.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ff", this, classOf[ForwardFrame].getName)
+    nullSafeCodeGen(ctx, ev, (t, e) => s"${ev.value} = $ref.convert($t, $e);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object Forward {
+
+  /** Per-row entry bytes. */
+  def entry(sec: Column, nsec: Column, record: Column,
+            timeAsInteger: Boolean = false): Column =
+    GraftShim.column(ForwardEntry(
+      GraftShim.expression(sec.cast("long")), GraftShim.expression(nsec.cast("int")),
+      GraftShim.expression(record), timeAsInteger))
+
+  /** Frame bytes from a tag and collected entry buffers. */
+  def frame(tag: Column, entries: Column): Column =
+    GraftShim.column(ForwardFrame(
+      GraftShim.expression(tag), GraftShim.expression(entries)))
+
+  /** Frame per (tag [, batch…]): rows → `(tag, n_entries, frame:binary)`.
+    * Entries inside a frame are ordered by `orderCol` (the reference
+    * frames a CHUNK, whose rows are already in arrival order — an
+    * explicit sort key keeps Spark frames deterministic). Pass extra
+    * `batchCols` (e.g. `spark_partition_id()`) to bound frame size at
+    * scale: the reference never frames a whole stream either, it frames
+    * per chunk flush.
+    */
+  def frames(df: DataFrame, tagCol: String, secCol: String, nsecCol: String,
+             recordCol: String, orderCol: String,
+             timeAsInteger: Boolean = false,
+             batchCols: Seq[Column] = Nil): DataFrame = {
+    val e = entry(col(secCol), col(nsecCol), col(recordCol), timeAsInteger)
+    df.withColumn("_o", col(orderCol)).withColumn("_e", e)
+      .groupBy(col(tagCol).as("tag") +: batchCols: _*)
+      .agg(count(lit(1)).as("n_entries"),
+        transform(array_sort(collect_list(struct(col("_o"), col("_e")))),
+          x => x.getField("_e")).as("_es"))
+      .withColumn("frame", frame(col("tag"), col("_es")))
+      .drop("_es")
+  }
+}
