@@ -352,13 +352,15 @@ object SparkEntry {
       t.select(col("seq"), Dedup.simhash(col("tokens"), 16).as("simhash"))
     }),
 
-    // -- word-3-gram Jaccard components between consecutive docs
+    // -- word-3-gram Jaccard components between consecutive docs (fused
+    //    one-pass overlap; alias barrier keeps ONE eval per row pair)
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
       val a = d.as("a"); val b = d.as("b")
-      val (inter, uni) = Dedup.ngramOverlap(col("a.text"), col("b.text"), 3)
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
-        .select(col("a.doc_id").as("doc_id"), inter.as("inter"), uni.as("uni"))
+        .withColumn("ov", Dedup.ngramOverlapStruct(col("a.text"), col("b.text"), 3))
+        .select(col("a.doc_id").as("doc_id"),
+          col("ov.inter").as("inter"), col("ov.uni").as("uni"))
     }),
 
     // -- embedding cosine between consecutive vectors (exact fp fold)

@@ -144,11 +144,19 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** n-gram Jaccard similarity components between two texts: returns
+  /** n-gram Jaccard similarity components between two texts as ONE fused
+    * struct(inter, uni) expression (see [[graft.functions.NgramOverlap]];
+    * the composable form below is 4 interpreted HOF evaluations per row).
+    * Read both fields through an alias barrier to keep one eval per row.
+    */
+  def ngramOverlapStruct(a: Column, b: Column, n: Int): Column =
+    graft.functions.NgramOverlap(a, b, n)
+
+  /** Composable-column formulation (spec cross-check): returns
     * (intersection size, union size) — integer-exact; callers derive the
     * ratio. union = |A| + |B| − |A∩B|.
     */
-  def ngramOverlap(a: Column, b: Column, n: Int): (Column, Column) = {
+  private[graft] def ngramOverlap(a: Column, b: Column, n: Int): (Column, Column) = {
     val (ga, gb) = (wordNgrams(a, n), wordNgrams(b, n))
     val inter = size(array_intersect(ga, gb))
     (inter, size(ga) + size(gb) - inter)

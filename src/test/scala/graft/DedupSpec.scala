@@ -61,6 +61,24 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(1) == ((0, 4)))
   }
 
+  test("fused NgramOverlap equals the composable formulation on real documents") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val a = d.as("a"); val b = d.as("b")
+    val paired = a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+    val (inter, uni) = Dedup.ngramOverlap(col("a.text"), col("b.text"), 3)
+    val mism = paired
+      .withColumn("ov", Dedup.ngramOverlapStruct(col("a.text"), col("b.text"), 3))
+      .filter(col("ov.inter") =!= inter || col("ov.uni") =!= uni)
+      .count()
+    assert(mism == 0)
+    // short-text edge: fewer than n words → empty gram set on that side
+    val e = Seq(("a b", "a b c")).toDF("ta", "tb")
+      .select(Dedup.ngramOverlapStruct(col("ta"), col("tb"), 3).as("ov"))
+      .select("ov.inter", "ov.uni").as[(Int, Int)].collect()(0)
+    assert(e == ((0, 1)))
+  }
+
   test("lsh plan shuffles only (band, key, id) pairs — no full-row exchange") {
     val df = spark.range(0, 100).select(col("id"),
       graft.sources.TokenTable.tokensFor(col("id")).as("tokens"))
