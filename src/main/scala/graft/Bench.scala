@@ -105,6 +105,13 @@ object Bench {
     }
     spark.stop()
 
+    // dev knob: per-query timings only (skip the scaling blocks)
+    if (sys.env.get("GRAFT_BENCH_QUERIES_ONLY").contains("1")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_only","total_query_sec":${results.map(_._2).filter(_ > 0).sum},"queries":$qs0}""")
+      if (errors.nonEmpty) sys.exit(1) else return
+    }
+
     // ---- phase 2: throughput + scaling, N vs 4N cores, identical input,
     //      fresh session per parallelism level (no cross-talk from phase 1)
     // Scaling pair is 4 → 16 cores: a measured PURE-CPU busy-loop on this

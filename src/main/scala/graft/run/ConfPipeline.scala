@@ -18,12 +18,15 @@ import graft.sources.TailSource
   *
   * Supported subset (the shipped plugin surface of this engine):
   *   - INPUT: `tail` (Path, Tag, Parser), `dummy` (Dummy, Samples)
-  *   - FILTER: `grep` (Regex/Exclude k p), `record_modifier`
+  *   - FILTER: `grep` (Regex/Exclude k p, encounter order), `record_modifier`
   *     (Remove_key/Whitelist_key/Record), `parser` (Key_Name, Parser,
   *     Reserve_Data, Preserve_Key), `throttle` (Rate, Interval), `nest`
-  *     (Operation/Wildcard/Nest_under/Nested_under/Prefix_with)
+  *     (Operation/Wildcard/Nest_under/Nested_under/Prefix_with), `modify`
+  *     (sequential rules; schema-decidable conditions — see
+  *     [[applyModifyConf]])
   *   - OUTPUT: `file` (Format json/csv/ltsv, Path), `counter`,
-  *     `flowcounter` (Unit), `null`, `stdout`
+  *     `flowcounter` (Unit), `forward` (wire-format frames to parquet,
+  *     Time_as_Integer), `null`, `stdout`
   *
   * Filters run on a fixed-schema line frame (`line`, `file`, `tag` +
   * parsed columns); a row-level filter whose Match doesn't cover a row
@@ -128,6 +131,13 @@ object ConfPipeline {
                 s.get("Prefix_with").getOrElse(""))(df)
             case other => throw new IllegalArgumentException(s"nest: Operation $other")
           }
+        case Some("modify") =>
+          // fixed-schema face of filter_modify: structural rules act on
+          // COLUMNS; only schema-decidable conditions (Key_exists /
+          // Key_does_not_exist) are supported here — per-row value
+          // conditions need the dynamic record (operators.Modify over a
+          // map column), same deviation class as record_modifier/nest
+          applyModifyConf(df, s)
         case other => throw new IllegalArgumentException(s"unsupported filter $other")
       }
     }
@@ -139,6 +149,47 @@ object ConfPipeline {
         options = s.entries.map { case (k, v) => k.toLowerCase -> v }.toMap)
     }
     Loaded(input, filtered, outputs)
+  }
+
+  /** Conf-mode `modify` (plugins/filter_modify): conditions ALL must hold,
+    * rules applied sequentially in encounter order.
+    */
+  private def applyModifyConf(df: DataFrame, s: ConfParser.Section): DataFrame = {
+    val condsOk = s.getAll("Condition").forall { c =>
+      c.split("\\s+", 2) match {
+        case Array(op, key) if op.equalsIgnoreCase("Key_exists") =>
+          df.columns.contains(key.trim)
+        case Array(op, key) if op.equalsIgnoreCase("Key_does_not_exist") =>
+          !df.columns.contains(key.trim)
+        case other =>
+          throw new IllegalArgumentException(
+            s"modify: condition '${other.mkString(" ")}' is row-valued — use the " +
+              "map-record face (graft.operators.Modify) for value conditions")
+      }
+    }
+    if (!condsOk) return df // conditions fail → NOTOUCH (modify.c:582-601)
+    val ruleKeys = Set("rename", "hard_rename", "copy", "hard_copy",
+      "add", "set", "remove", "remove_wildcard")
+    s.entries.filter(e => ruleKeys(e._1.toLowerCase)).foldLeft(df) { case (d, (op, v)) =>
+      val parts = v.split("\\s+", 2)
+      val k = parts(0)
+      def v2 = parts(1)
+      op.toLowerCase match {
+        case "rename" =>
+          if (d.columns.contains(k) && !d.columns.contains(v2)) d.withColumnRenamed(k, v2) else d
+        case "hard_rename" =>
+          if (d.columns.contains(k)) d.drop(v2).withColumnRenamed(k, v2) else d
+        case "copy" =>
+          if (d.columns.contains(k) && !d.columns.contains(v2)) d.withColumn(v2, col(k)) else d
+        case "hard_copy" =>
+          if (d.columns.contains(k)) d.withColumn(v2, col(k)) else d
+        case "add" =>
+          if (d.columns.contains(k)) d else d.withColumn(k, lit(v2))
+        case "set" => d.withColumn(k, lit(v2))
+        case "remove" => d.drop(k)
+        case "remove_wildcard" => d.drop(d.columns.filter(_.startsWith(k)): _*)
+      }
+    }
   }
 
   /** Execute the outputs (fan-out: each output sees every matching row). */
@@ -155,6 +206,22 @@ object ConfPipeline {
             graft.sinks.Sinks.writeFiles(
               rows.withColumn("sink", col("tag")), path, fmt)
             rows.count()
+          case "forward" =>
+            // wire-format frames (sinks/Forward), parquet of binary frames
+            // — the serialization half of out_forward; no socket
+            val path = o.options.getOrElse("path", s"$outDir/$sinkName")
+            val timeAsInt = o.options.get("time_as_integer").exists(_.equalsIgnoreCase("on"))
+            val recCols = rows.columns.filterNot(_ == "tag")
+            val framed = graft.sinks.Forward.frames(
+              rows.withColumn("_sec",
+                  if (rows.columns.contains("ts")) unix_timestamp(col("ts")) else lit(0L))
+                .withColumn("_nsec", lit(0))
+                .withColumn("_rec", map(recCols.flatMap(c =>
+                  Seq(lit(c), col(c).cast("string"))): _*))
+                .withColumn("_ord", xxhash64(col(recCols.head))),
+              "tag", "_sec", "_nsec", "_rec", "_ord", timeAsInteger = timeAsInt)
+            framed.write.mode("overwrite").parquet(path)
+            framed.agg(sum(col("n_entries"))).collect()(0).getLong(0)
           case "counter" | "null" => rows.count()
           case "flowcounter" if rows.columns.contains("ts") =>
             val unit = o.options.getOrElse("unit", "minute")

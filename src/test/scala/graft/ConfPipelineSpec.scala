@@ -88,6 +88,75 @@ class ConfPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("conf modify filter: sequential column rules + schema-decidable conditions") {
+    val dir = Files.createTempDirectory("graft-conf-mod").toString
+    Files.writeString(Paths.get(dir, "a.log"),
+      "h - u [17/Jul/2017:20:17:03 +0000] \"GET /x HTTP/1.1\" 500 7\n")
+    val conf =
+      s"""[INPUT]
+         |    Name   tail
+         |    Path   $dir/*.log
+         |    Tag    logs.*
+         |    Parser apache
+         |
+         |[FILTER]
+         |    Name      modify
+         |    Match     *
+         |    Condition Key_exists code
+         |    Rename    code status
+         |    Add       env prod
+         |    Remove    size
+         |
+         |[FILTER]
+         |    Name      modify
+         |    Match     *
+         |    Condition Key_exists nope
+         |    Set       env staging
+         |
+         |[OUTPUT]
+         |    Name counter
+         |    Match *
+         |""".stripMargin
+    val out = ConfPipeline.load(spark, conf, parsersConf).filtered
+    assert(out.columns.contains("status") && !out.columns.contains("code"))
+    assert(!out.columns.contains("size"))
+    // second modify NOTOUCH'd (condition failed) → env stays 'prod'
+    assert(out.select("env").distinct().collect().map(_.getString(0)).toSeq == Seq("prod"))
+  }
+
+  test("conf forward output writes wire-format frames (one per tag)") {
+    val dir = Files.createTempDirectory("graft-conf-fwd").toString
+    mkLog(dir, "app.log", Seq(200, 500))
+    val conf =
+      s"""[INPUT]
+         |    Name   tail
+         |    Path   $dir/*.log
+         |    Tag    fw.*
+         |    Parser apache
+         |
+         |[OUTPUT]
+         |    Name  forward
+         |    Match *
+         |    Path  $dir/out_fw
+         |""".stripMargin
+    val loaded = ConfPipeline.load(spark, conf, parsersConf)
+    val results = ConfPipeline.run(loaded, s"$dir/out").toMap
+    assert(results("forward_0") == 2L) // entries framed
+    val frames = spark.read.parquet(s"$dir/out_fw")
+    val row = frames.select("n_entries", "frame").collect()(0)
+    assert(row.getLong(0) == 2L)
+    val frame = row.getAs[Array[Byte]](1)
+    assert((frame(0) & 0xff) == 0x92) // fixarray 2: [tag, entries]
+  }
+
+  private def mkLog(dir: String, name: String, codes: Seq[Int]): Unit = {
+    val lines = codes.zipWithIndex.map { case (c, i) =>
+      s"""h$i - u [17/Jul/2017:20:17:03 +0000] "GET /p/$i HTTP/1.1" $c ${i * 10}"""
+    }
+    Files.writeString(Paths.get(dir, name), lines.mkString("", "\n", "\n"))
+    ()
+  }
+
   test("grep rules keep .conf encounter order: Exclude before Regex is decisive first (grep.c:130-205)") {
     val dir = Files.createTempDirectory("graft-conf-order").toString
     val lines = Seq(
