@@ -269,6 +269,15 @@ object SparkEntry {
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // -- throttle, scale-safe two-phase variant — SAME oracle as
+    //    fb_throttle (row-identical by construction; this makes the
+    //    equivalence driver-visible, not just spec-asserted)
+    "fb_throttle_scalable" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Throttle.scalable("ts", "event_id", 3600, 20.0 / 3600.0, salts = 8)(ev)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    }),
+
     // -- flowcounter: tumbling-window counts + sums
     "fb_flowcounter" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -732,6 +741,13 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
 
     "fb_throttle" ->
+      """SELECT event_type, count(*) AS cnt FROM (
+           SELECT event_type,
+                  row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                     ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn <= 20 GROUP BY event_type""",
+
+    "fb_throttle_scalable" ->
       """SELECT event_type, count(*) AS cnt FROM (
            SELECT event_type,
                   row_number() OVER (PARTITION BY date_trunc('hour', ts)

@@ -23,6 +23,14 @@ object Grep {
     *     exactly Spark's `rlike`;
     *   - Regex rules are always decisive (match → keep, no match → drop);
     *   - Exclude match → drop, no match → next rule; rules exhausted → keep.
+    *
+    * Expression-count note: each rule references its field column exactly
+    * ONCE per decision where possible — when the field is an expensive
+    * derived expression (a fused regex parse pushed into the filter),
+    * every extra reference re-evaluates it per row. For Regex rules
+    * `keep ⇔ (key exists ∧ match)` collapses to `rlike <=> true` (null
+    * rlike → false); Exclude needs the three-way null/match/no-match
+    * split, costing a second reference.
     */
   def keepPredicate(rules: Seq[Rule], field: String => Column): Column =
     rules.foldRight(lit(true)) { (rule, rest) =>
@@ -30,7 +38,7 @@ object Grep {
       val matched = c.rlike(rule.pattern)
       rule match {
         case Regex(_, _) =>
-          when(c.isNull, lit(false)).otherwise(when(matched, lit(true)).otherwise(lit(false)))
+          matched <=> lit(true) // null (missing key) and no-match both drop
         case Exclude(_, _) =>
           when(c.isNull, lit(true)).otherwise(when(matched, lit(false)).otherwise(rest))
       }
