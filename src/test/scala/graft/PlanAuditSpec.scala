@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Grep
+import graft.route.SinkSpec
+import graft.run.{Pipeline, PipelineSpec}
+import graft.sources.TokenTable
+
+/** Physical-plan invariants of the headline pipeline — the properties that
+  * make it hold at 100 TB. Each one regressed at least once during
+  * development; asserting on the plan string keeps them pinned.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def headlinePlan(withEnrich: Boolean): String = {
+    val t = TokenTable.synthetic(spark, 1000, 4)
+    val dim = spark.range(0, 10).select(
+      concat(lit("web-"), col("id").cast("string"), lit("_default")).as("pod_key"),
+      col("id").as("team"))
+    val spec = PipelineSpec(
+      grep = Seq(Grep.Regex("code", "^5")),
+      sinks = TokenTable.Sinks.map((SinkSpec.apply _).tupled),
+      enrichDim = if (withEnrich) Some(dim) else None)
+    val out = Pipeline.transform(t, spec)
+      .groupBy(col("sink")).agg(count(lit(1)).as("cnt"), sum(col("n_tok")).as("s"))
+    out.collect()
+    out.queryExecution.executedPlan.toString
+  }
+
+  test("headline pipeline: the fused apache parse evaluates ONCE per row") {
+    val plan = headlinePlan(withEnrich = false)
+    // filter pushdown substitutes the parse alias into every reference of
+    // the grep predicate — a two-reference predicate doubles the parse
+    val n = "regexparse".r.findAllIn(plan.toLowerCase).size
+    // AQE prints final + initial plan sections → one occurrence each
+    assert(n <= 2, s"apache regexparse appears $n times:\n$plan")
+  }
+
+  test("headline pipeline: broadcast enrich, partial agg before the single exchange") {
+    val plan = headlinePlan(withEnrich = true)
+    assert(plan.contains("BroadcastHashJoin"), "enrich must be a broadcast join")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join on the fact side")
+    assert(plan.contains("partial_count"), "map-side partial aggregation must ride the fan-out")
+    // exactly one data exchange per plan section (the sink agg); the only
+    // other exchange is the dim broadcast
+    val sections = plan.split("== Initial Plan ==")
+    sections.foreach { s =>
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+      assert(shuffles == 1, s"expected 1 shuffle, saw $shuffles in:\n$s")
+    }
+  }
+
+  test("fixture queries prune the documents scan to doc_id only") {
+    val q = SparkEntry.queries("fb_parse_nginx")(spark, "/root/testdata/sf0.001")
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("struct<doc_id:bigint>"), scan)
+  }
+}
