@@ -55,6 +55,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == 2000L)
   }
 
+  test("streaming ns envelope: event_time struct parsed in-stream, windowed on derived event_ts") {
+    val dir = Files.createTempDirectory("graft-stream-ns").toString
+    TokenTable.synthetic(spark, 2000, 4).write.mode("overwrite").parquet(dir)
+    val nsSpec = spec.copy(grep = Nil, eventTimeNs = true)
+
+    // batch reference: window on the µs timestamp DERIVED from the envelope
+    val batch = graft.run.Pipeline.transform(spark.read.parquet(dir), nsSpec)
+      .groupBy(window(col("event_ts"), "10 minutes"), col("sink"))
+      .agg(count(lit(1)).as("cnt"), sum("n_tok").as("s"))
+      .select(col("window.start"), col("sink"), col("cnt"), col("s"))
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+
+    val routed = StreamPipeline.routed(StreamPipeline.tokenStream(spark, dir), nsSpec)
+    val fc = StreamPipeline.flowCounter(routed, "event_ts", "10 minutes", "1 hour", "n_tok")
+    StreamPipeline.drainToMemory(fc, "ns_fc", outputMode = "complete")
+    val streamed = spark.sql("SELECT window.start, sink, cnt, sum_val FROM ns_fc")
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // the envelope itself survived the stream transform (sec matches seq)
+    StreamPipeline.drainToMemory(
+      routed.select(col("seq"), col("event_time.sec").as("sec")), "ns_env")
+    val env = spark.sql("SELECT seq, sec FROM ns_env").as[(Long, Long)].collect()
+    assert(env.nonEmpty &&
+      env.forall { case (seq, sec) => sec == TokenTable.BaseEpoch + seq % 3600 })
+  }
+
   test("streaming throttle: per-pane budget enforced across micro-batches") {
     import StreamPipeline.ThrottleIn
     val dir = Files.createTempDirectory("graft-stream-th").toString
