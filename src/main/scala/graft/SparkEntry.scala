@@ -355,6 +355,17 @@ object SparkEntry {
       Dedup.lshCandidatePairs(base, "id", "tokens", numHashes = 8, rowsPerBand = 2)
     }),
 
+    // -- connected components over candidate pairs: chains of 5 consecutive
+    //    ids (edge i→i+1 unless i%5==4) must collapse to comp = id−id%5 —
+    //    the cluster→canonical-keeper step of a dedup pipeline
+    "dedup_cc" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val pairs = d.filter(col("doc_id") % 5 =!= 4 && col("doc_id") < mx)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
     // -- SimHash (16-bit) over token ids
     "dedup_simhash" -> ((s, dir) => {
       val t = TokenTable.fromDocuments(s, dir)
@@ -826,6 +837,11 @@ object SparkEntry {
          SELECT DISTINCT a.id AS id_a, b.id AS id_b
          FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id"""
     },
+
+    "dedup_cc" ->
+      """SELECT doc_id AS id, doc_id - doc_id % 5 AS comp
+         FROM documents WHERE doc_id < (SELECT max(doc_id) FROM documents)
+            OR doc_id % 5 = 4""",
 
     "dedup_simhash" ->
       s"""$tokCtes

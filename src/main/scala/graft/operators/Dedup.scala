@@ -127,6 +127,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over candidate near-dup pairs — the clustering
+    * step between [[lshCandidatePairs]] / embedding pairs and keeper
+    * selection (every member of a component dedups to the component's
+    * MINIMUM id).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Each round is one shuffle-join of
+    * (edge, label) plus a groupBy — all fixed-width rows; `localCheckpoint`
+    * every round truncates the growing lineage (the classic Spark
+    * iterative-algorithm requirement). Convergence is detected by the
+    * monotone-decreasing `sum(label)` fixpoint, so no extra diff join.
+    * For graphs with huge diameters (rare for dedup clusters, which are
+    * near-cliques) the alternating small-star/large-star variant halves
+    * round counts; diameter ≤ 2 holds for LSH buckets by construction.
+    *
+    * @return (id, comp) — comp = min id reachable from id
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .union(pairs.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      labels = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash over token ids (`bits`-wide): bit b set iff
     * Σ_tokens (bit_b(h(t))·2 − 1) > 0, h(t) = t·2654435761 mod 2³².
     * One fused expression, one pass over the array per row.

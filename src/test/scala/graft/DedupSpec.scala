@@ -79,6 +79,28 @@ class DedupSpec extends AnyFunSuite {
     assert(e == ((0, 1)))
   }
 
+  test("connectedComponents equals driver-side union-find on a deterministic graph") {
+    // edges: chains (i, i+1) broken at i%7==6, plus long-range links
+    // (i, i+13) when i%11==0 — merges chains into larger components
+    val edges = (0L until 200L).flatMap { i =>
+      val chain = if (i % 7 != 6 && i + 1 < 200) Seq((i, i + 1)) else Nil
+      val far = if (i % 11 == 0 && i + 13 < 200) Seq((i, i + 13)) else Nil
+      chain ++ far
+    }
+    // driver union-find reference
+    val parent = scala.collection.mutable.Map((0L until 200L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val want = inEdges.map(i => i -> find(i)).toMap
+
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("lsh plan shuffles only (band, key, id) pairs — no full-row exchange") {
     val df = spark.range(0, 100).select(col("id"),
       graft.sources.TokenTable.tokensFor(col("id")).as("tokens"))
