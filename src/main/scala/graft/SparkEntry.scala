@@ -421,6 +421,15 @@ object SparkEntry {
         threshold = 0.0, planes = 8)
     }),
 
+    // -- int8 embedding quantization: per-row scale + portable digest of
+    //    the codes (explicit half-up floor — engine-identical arithmetic)
+    "sim_quantize" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      e.withColumn("qz", Similarity.quantizeInt8(col("embedding")))
+        .select(col("vec_id"), col("qz.scale").as("scale"),
+          graft.functions.TokenFold(col("qz.q")).as("q_hash"))
+    }),
+
     // -- LSH (sign-random-projection) bucket histogram — the ANN scale path
     "sim_srp_buckets" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -490,6 +499,26 @@ object SparkEntry {
 
     // -- multimodal plumbing: binary column → batched decode stub
     "multimodal_features" -> ((s, dir) => Multimodal.featuresFrame(s, dir)),
+
+    // -- multimodal resize: binary payload REWRITTEN in the batched map
+    //    (stub resampler = every-kth-byte); oracle recomputes the output
+    //    byte stream from the text arithmetically
+    "multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resize(Multimodal.fromDocuments(s, dir), 64, 64)
+        .map(r => (r.doc_id, r.width, r.height, r.media.length.toLong,
+          r.media.foldLeft(0L)((a, b) => a + (b & 0xff))))
+        .toDF("doc_id", "width", "height", "n_bytes", "byte_sum")
+    }),
+
+    // -- multimodal frame sampling: one row → n frame rows (flatMap shape)
+    "multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(Multimodal.fromDocuments(s, dir), everyNth = 2, maxFrames = 4)
+        .map(f => (f.doc_id, f.frame_no, f.frame.length.toLong,
+          f.frame.foldLeft(0L)((a, b) => a + (b & 0xff))))
+        .toDF("doc_id", "frame_no", "n_bytes", "byte_sum")
+    }),
 
     // -- the CURATION capstone: quality gate → language gate → exact-dedup
     //    keeper — the training-data pipeline the operators compose into
@@ -931,6 +960,20 @@ object SparkEntry {
            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          ) WHERE cos >= 0""",
 
+    "sim_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+           FROM embeddings)
+         SELECT vec_id, mx / 127.0 AS scale,
+           CASE WHEN mx > 0 THEN
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS BIGINT))),
+               (h, t) -> (h*31 + t) % 1000000007)
+           ELSE 0 END AS q_hash
+         FROM s""",
+
     "sim_srp_buckets" ->
       """WITH b AS (
            SELECT CAST(list_sum(list_transform(range(0,8), p ->
@@ -1093,6 +1136,32 @@ object SparkEntry {
          keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY hash(text))
          SELECT k.doc_id, k.n_words FROM kept k
          WHERE EXISTS (SELECT 1 FROM keepers x WHERE x.doc_id = k.doc_id)""",
+
+    "multimodal_resize" ->
+      """WITH p AS (
+           SELECT doc_id, text, length(text) AS len,
+                  greatest(1, length(text) // 64) AS k
+           FROM documents)
+         SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+           CAST((len + k - 1) // k AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(0, CAST((len + k - 1) // k AS INTEGER)),
+             i -> ascii(substr(text, CAST(i*k + 1 AS INTEGER), 1)))) AS BIGINT) AS byte_sum
+         FROM p""",
+
+    "multimodal_frames" ->
+      """WITH p AS (
+           SELECT doc_id, text, length(text) AS len,
+                  greatest(1, length(text) // 8) AS fs
+           FROM documents),
+         f AS (
+           SELECT doc_id, text, fs, len // fs AS total,
+                  unnest([0, 2, 4, 6]) AS frame_no
+           FROM p)
+         SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(fs AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, CAST(fs AS INTEGER) + 1),
+             i -> ascii(substr(text, CAST(frame_no*fs + i AS INTEGER), 1)))) AS BIGINT) AS byte_sum
+         FROM f WHERE frame_no < total""",
 
     "multimodal_features" ->
       """SELECT doc_id,

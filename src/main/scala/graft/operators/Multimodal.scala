@@ -57,6 +57,50 @@ object Multimodal {
     ds.mapPartitions(_.map(DecodeStub.decode))
   }
 
+  final case class ResizedMedia(
+      doc_id: Long, kind: String, width: Int, height: Int, media: Array[Byte])
+
+  /** Image resize plumbing: STUB transform (deterministic byte
+    * downsampling standing in for a pixel resampler) inside the real
+    * batched map — target dims are per-op config like a production
+    * preprocessing stage. Output bytes shrink proportionally, proving the
+    * pipeline carries REWRITTEN binary payloads, not just metadata.
+    */
+  def resize(ds: Dataset[MediaRecord], width: Int, height: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      // STUB resampler: take every k-th byte to a width*height/64-bounded
+      // payload — a real impl decodes, resamples pixels, re-encodes
+      val target = math.max(1, width * height / 64)
+      val k = math.max(1, r.media.length / target)
+      val out = new Array[Byte]((r.media.length + k - 1) / k)
+      var i = 0
+      while (i < out.length) { out(i) = r.media(i * k); i += 1 }
+      ResizedMedia(r.doc_id, r.kind, width, height, out)
+    })
+  }
+
+  final case class MediaFrame(
+      doc_id: Long, kind: String, frame_no: Int, frame: Array[Byte])
+
+  /** Video frame-sampling plumbing: one input row → n sampled frames
+    * (flatMap — the row-expanding batch shape a real ffmpeg sampler has).
+    * STUB: byte-range slices stand in for decoded frames; stride derives
+    * from the payload, sampling is every `everyNth` frame.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], everyNth: Int,
+                   maxFrames: Int = 8): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val frameSize = math.max(1, r.media.length / math.max(1, maxFrames * everyNth))
+      val total = r.media.length / frameSize
+      (0 until total by everyNth).take(maxFrames).map { f =>
+        MediaFrame(r.doc_id, r.kind, f,
+          r.media.slice(f * frameSize, (f + 1) * frameSize))
+      }
+    }
+  }
+
   /** Demo source: wrap a text table's bytes as media blobs (UTF-8), kind
     * round-robin by id — gives the plumbing a deterministic, content-true
     * binary column to chew on.

@@ -134,15 +134,31 @@ object Similarity {
       .select(df.columns.map(col) :+ col(centId).as("cell"): _*)
   }
 
-  /** IVF top-k: queries and candidates are assigned to cells; each query
-    * searches ONLY its own cell (nprobe=1) — the scan-cost/recall dial at
-    * scale. Returns per-query top-k among same-cell candidates.
+  /** Assign each row to its `nprobe` nearest cells (ties → smallest
+    * centroid id) — one output row per (row, probed cell).
+    */
+  def ivfAssignN(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame, nprobe: Int,
+                 centId: String = "cent_id", centVec: String = "cvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_dist"), col(centId))
+    df.join(broadcast(centroids))
+      .withColumn("_dist", l2sq(col(vecCol), col(centVec)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(df.columns.map(col) :+ col(centId).as("cell"): _*)
+  }
+
+  /** IVF top-k: candidates live in their ONE nearest cell; each query
+    * probes its `nprobe` nearest cells — the scan-cost/recall dial at
+    * scale (nprobe = #centroids degenerates to exact brute force).
+    * Returns per-query top-k among candidates in the probed cells.
     */
   def ivfTopK(queries: DataFrame, qid: String, qvec: String,
               cands: DataFrame, cid: String, cvec: String,
-              centroids: DataFrame, k: Int): DataFrame = {
+              centroids: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qCells = ivfAssign(queries, qid, qvec, centroids)
+    val qCells = ivfAssignN(queries, qid, qvec, centroids, nprobe)
     val cCells = ivfAssign(cands, cid, cvec, centroids)
     val joined = cCells.join(broadcast(qCells), Seq("cell")).filter(col(qid) =!= col(cid))
     val w = Window.partitionBy(col(qid)).orderBy(cosine(col(qvec), col(cvec)).desc, col(cid))
@@ -183,6 +199,28 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("cos"))
   }
+
+  /** Symmetric int8 embedding quantization — the storage-compression step
+    * of a large-scale vector pipeline (4× smaller than float32 before
+    * columnar encoding). Per-row scale = max|vᵢ| / 127; code qᵢ =
+    * ⌊vᵢ/scale + 0.5⌋ (explicit half-up — identical arithmetic in every
+    * engine, unlike round() whose half-rule differs across systems).
+    * Zero vectors quantize to all-zero codes with scale 0.
+    *
+    * @return struct(scale: double, q: array<int> in [-127, 127])
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = mx / 127.0
+    val q = when(mx > 0,
+      transform(vec, x => floor(x.cast("double") / scale + 0.5).cast("int")))
+      .otherwise(transform(vec, x => lit(0)))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Dequantize int8 codes back to doubles (qᵢ·scale). */
+  def dequantizeInt8(qstruct: Column): Column =
+    transform(qstruct.getField("q"), x => x.cast("double") * qstruct.getField("scale"))
 
   /** Bucket-size audit for the SRP paths: (bucket, n, truncated) — run
     * before [[embeddingNearDupPairs]]/[[lshTopK]] to see how much a

@@ -120,6 +120,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(neighbors == Set(11L)) // only the same-cell candidate (nprobe=1)
   }
 
+  test("int8 quantization: codes in [-127,127], round-trip error ≤ scale/2") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val checked = e.withColumn("qz", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("deq", Similarity.dequantizeInt8(col("qz")))
+      .select(
+        aggregate(col("qz.q"), lit(true), (ok, q) => ok && abs(q) <= 127).as("in_range"),
+        aggregate(zip_with(col("embedding"), col("deq"),
+          (x, d) => abs(x.cast("double") - d)), lit(0.0),
+          (m, err) => greatest(m, err)).as("max_err"),
+        (col("qz.scale") / 2.0 + lit(1e-12)).as("bound"))
+    assert(checked.filter(!col("in_range") || col("max_err") > col("bound")).count() == 0)
+    // zero vector → scale 0, all-zero codes
+    import spark.implicits._
+    val z = Seq(Seq(0f, 0f, 0f)).toDF("v")
+      .select(Similarity.quantizeInt8(col("v")).as("qz"))
+      .select(col("qz.scale"), col("qz.q")).as[(Double, Seq[Int])].collect()(0)
+    assert(z == ((0.0, Seq(0, 0, 0))))
+  }
+
+  test("ivfTopK with nprobe = #centroids recovers the exact brute-force neighbors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val qs = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec2"))
+    val exact = Similarity.bruteForceTopK(qs, "qid", "qvec", cands, "cid", "cvec2", 3)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(qs, "qid", "qvec", cands, "cid", "cvec2", cents, 3, nprobe = 4)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == exact)
+    // nprobe=1 is a subset of the probed-everything result
+    val n1 = Similarity.ivfTopK(qs, "qid", "qvec", cands, "cid", "cvec2", cents, 3, nprobe = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(n1.nonEmpty && n1.size <= exact.size)
+  }
+
   test("lshTopK joins on buckets with broadcast of the query side") {
     val vecs = (0 until 50).map(i => (i.toLong, Seq.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))
     val cands = vecs.toDF("cid", "cvec")
