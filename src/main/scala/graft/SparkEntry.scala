@@ -472,6 +472,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // -- decontamination: docs sharing a token shingle with the benchmark
+    //    subset (every 50th doc; manufactured dups give even/odd twins) —
+    //    the oracle recomputes ground truth via list_intersect, so even
+    //    accidental shingle collisions stay correct
+    "text_contaminated" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("seq"),
+          TokenTable.tokensFor(col("doc_id") - col("doc_id") % 2).as("tokens"))
+      val bench = base.filter(col("seq") % 50 === 0)
+      Dedup.contaminatedIds(base, "seq", "tokens", bench, "tokens")
+    }),
+
     // -- sessionization: 30-minute-gap sessions per user over events
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1023,6 +1035,23 @@ object SparkEntry {
          f AS (SELECT unnest(tokens) AS token FROM tokseq)
          SELECT token, count(*) AS freq FROM f
          GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+
+    "text_contaminated" -> {
+      val toks = graft.sources.TokenTable.duckdbTokensFor("doc_id - doc_id % 2")
+      s"""WITH base AS (
+           SELECT doc_id AS seq, $toks AS tokens,
+                  CAST(1 + (doc_id - doc_id % 2) % 64 AS INTEGER) AS n
+           FROM documents),
+         sh AS (
+           SELECT seq,
+             CASE WHEN n >= 3 THEN list_transform(range(1, n - 1),
+               i -> ((CAST(tokens[i] AS BIGINT)*31 + tokens[i+1])*31 + tokens[i+2]) % 1000000007)
+             ELSE CAST([] AS BIGINT[]) END AS s
+           FROM base),
+         bench AS (SELECT * FROM sh WHERE seq % 50 = 0)
+         SELECT s.seq FROM sh s
+         WHERE EXISTS (SELECT 1 FROM bench b WHERE len(list_intersect(s.s, b.s)) > 0)"""
+    },
 
     "q_sessionize" ->
       """WITH g AS (

@@ -127,6 +127,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: ids of docs sharing at least one token
+    * shingle with a (small) benchmark set — the train/test-overlap check
+    * every training-data pipeline runs before a model sees the corpus.
+    *
+    * Scale shape: benchmark grams are BROADCAST (benchmarks are tiny next
+    * to the corpus); the corpus side is a narrow shingle explode +
+    * broadcast semi-join — no corpus shuffle at all. The distinct on doc
+    * ids shuffles only 8-byte survivors.
+    */
+  def contaminatedIds(docs: DataFrame, idCol: String, tokensCol: String,
+                      bench: DataFrame, benchTokensCol: String): DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingles(col(benchTokensCol))).as("g")).distinct()
+    docs.select(col(idCol), explode(shingles(col(tokensCol))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Connected components over candidate near-dup pairs — the clustering
     * step between [[lshCandidatePairs]] / embedding pairs and keeper
     * selection (every member of a component dedups to the component's

@@ -101,6 +101,19 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("decontamination: twins of benchmark docs flagged; corpus side joins via broadcast") {
+    val base = spark.range(0, 200).select(col("id").as("seq"),
+      graft.sources.TokenTable.tokensFor(col("id") - col("id") % 2).as("tokens"))
+    val bench = base.filter(col("seq") % 50 === 0) // 0, 50, 100, 150 (all even)
+    val out = Dedup.contaminatedIds(base, "seq", "tokens", bench, "tokens")
+    val got = out.as[Long].collect().toSet
+    // benchmark docs and their odd twins share all shingles; doc 0/1 have
+    // n_tok = 1 → no shingles → NOT contaminated
+    assert(Set(50L, 51L, 100L, 101L, 150L, 151L).subsetOf(got))
+    assert(!got.contains(0L) && !got.contains(1L))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("lsh plan shuffles only (band, key, id) pairs — no full-row exchange") {
     val df = spark.range(0, 100).select(col("id"),
       graft.sources.TokenTable.tokensFor(col("id")).as("tokens"))
