@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.io.ByteArrayOutputStream
 
-import org.apache.spark.sql.{Column, DataFrame, GraftShim}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
@@ -136,7 +136,99 @@ case class ForwardFrame(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** Decoder for the same subset — the compute half of `in_forward`
+  * (`plugins/in_forward/fw_prot.c` unpacks exactly these shapes off the
+  * socket; here the frames come from a binary column).
+  */
+object MsgpackDecode {
+
+  final class Cursor(val b: Array[Byte]) { var i: Int = 0 }
+
+  private def u8(c: Cursor): Int = { val v = c.b(c.i) & 0xff; c.i += 1; v }
+  private def beN(c: Cursor, n: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < n) { v = (v << 8) | (c.b(c.i + k) & 0xffL); k += 1 }
+    c.i += n
+    v
+  }
+
+  def readArrayHeader(c: Cursor): Int = u8(c) match {
+    case h if (h & 0xf0) == 0x90 => h & 0x0f
+    case 0xdc => beN(c, 2).toInt
+    case 0xdd => beN(c, 4).toInt
+    case h => throw new IllegalArgumentException(f"not an array header: 0x$h%02x")
+  }
+
+  def readMapHeader(c: Cursor): Int = u8(c) match {
+    case h if (h & 0xf0) == 0x80 => h & 0x0f
+    case 0xde => beN(c, 2).toInt
+    case 0xdf => beN(c, 4).toInt
+    case h => throw new IllegalArgumentException(f"not a map header: 0x$h%02x")
+  }
+
+  def readStr(c: Cursor): String = {
+    val n = u8(c) match {
+      case h if (h & 0xe0) == 0xa0 => h & 0x1f
+      case 0xd9 => u8(c)
+      case 0xda => beN(c, 2).toInt
+      case 0xdb => beN(c, 4).toInt
+      case h => throw new IllegalArgumentException(f"not a str header: 0x$h%02x")
+    }
+    val s = new String(c.b, c.i, n, java.nio.charset.StandardCharsets.UTF_8)
+    c.i += n
+    s
+  }
+
+  /** EventTime fixext8 OR integer epoch → (sec, nsec). */
+  def readTime(c: Cursor): (Long, Long) = (c.b(c.i) & 0xff) match {
+    case 0xd7 =>
+      val (s, n) = FlbTime.unpackEventTime(java.util.Arrays.copyOfRange(c.b, c.i, c.i + 10))
+      c.i += 10
+      (s, n)
+    case h if h < 0x80 => c.i += 1; (h.toLong, 0L)
+    case 0xcc => c.i += 1; (u8(c).toLong, 0L)
+    case 0xcd => c.i += 1; (beN(c, 2), 0L)
+    case 0xce => c.i += 1; (beN(c, 4), 0L)
+    case 0xcf => c.i += 1; (beN(c, 8), 0L)
+    case h => throw new IllegalArgumentException(f"not a time: 0x$h%02x")
+  }
+
+  final case class Entry(sec: Long, nsec: Long, record: Map[String, String])
+
+  /** Unpack a full frame `[tag, [[time, record]…]]`. */
+  def unpackFrame(bytes: Array[Byte]): (String, Seq[Entry]) = {
+    val c = new Cursor(bytes)
+    require(readArrayHeader(c) == 2, "frame must be a 2-array")
+    val tag = readStr(c)
+    val n = readArrayHeader(c)
+    val entries = (0 until n).map { _ =>
+      require(readArrayHeader(c) == 2, "entry must be a 2-array")
+      val (sec, nsec) = readTime(c)
+      val m = readMapHeader(c)
+      val rec = (0 until m).map(_ => readStr(c) -> readStr(c)).toMap
+      Entry(sec, nsec, rec)
+    }
+    require(c.i == bytes.length, s"trailing bytes: ${bytes.length - c.i}")
+    (tag, entries)
+  }
+}
+
 object Forward {
+
+  final case class ForwardRow(tag: String, sec: Long, nsec: Long,
+                              record: Map[String, String])
+
+  /** Inverse of [[frames]]: a binary frame column → one row per entry —
+    * the `in_forward` ingest shape without the socket.
+    */
+  def parseFrames(df: DataFrame, frameCol: String): Dataset[ForwardRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(frameCol)).as[Array[Byte]].flatMap { bytes =>
+      val (tag, entries) = MsgpackDecode.unpackFrame(bytes)
+      entries.map(e => ForwardRow(tag, e.sec, e.nsec, e.record))
+    }
+  }
 
   /** Per-row entry bytes. */
   def entry(sec: Column, nsec: Column, record: Column,

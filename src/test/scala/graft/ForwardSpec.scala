@@ -66,6 +66,28 @@ class ForwardSpec extends AnyFunSuite {
     assert(a(15) == "9f" && a(16) == "dc0010" && a(65536) == "dd00010000")
   }
 
+  test("round trip: frames() → parseFrames() recovers tag, time, and records exactly") {
+    val df = spark.range(0, 500).select(
+      concat(lit("app."), (col("id") % 3).cast("string")).as("tag"),
+      (lit(1500322623L) + col("id") % 3600).as("sec"),
+      ((col("id") * 7919) % 1000000000).cast("int").as("nsec"),
+      map(lit("k"), col("id").cast("string"),
+        lit("msg"), concat(lit("m "), col("id").cast("string"))).as("rec"),
+      col("id").as("o"))
+    val framed = Forward.frames(df, "tag", "sec", "nsec", "rec", "o")
+    val back = Forward.parseFrames(framed.toDF(), "frame")
+      .map(r => (r.tag, r.sec, r.nsec, r.record("k"), r.record("msg")))
+      .collect().toSet
+    val want = df.select(col("tag"), col("sec"), col("nsec").cast("long"),
+        element_at(col("rec"), "k"), element_at(col("rec"), "msg"))
+      .as[(String, Long, Long, String, String)].collect().toSet
+    assert(back == want)
+    // integer-time frames round trip too (nsec drops to 0 by design)
+    val fi = Forward.frames(df, "tag", "sec", "nsec", "rec", "o", timeAsInteger = true)
+    val backI = Forward.parseFrames(fi.toDF(), "frame").collect()
+    assert(backI.length == 500 && backI.forall(_.nsec == 0L))
+  }
+
   test("frames(): one frame per tag, entries ordered by the sort key") {
     val df = Seq(
       ("app.a", 10L, 2L, "r2"), ("app.a", 10L, 1L, "r1"), ("db.x", 11L, 3L, "r3"))
