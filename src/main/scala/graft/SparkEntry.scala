@@ -462,6 +462,33 @@ object SparkEntry {
         TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
     }),
 
+    // -- text normalization (dedup-key cleaning): strip punct, collapse
+    //    whitespace, trim, lowercase
+    "text_normalize" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm"))
+    }),
+
+    // -- PII redaction over fixture lines embedding emails + IPv4 in real
+    //    document text (same RE2-safe regexes both engines)
+    "text_redact" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val line = concat(
+        lit("from user"), (col("doc_id") % 31).cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"),
+        lit(".com at 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(" wrote: "), col("text"))
+      d.select(col("doc_id"), TextAnalysis.redactPii(line).as("redacted"))
+    }),
+
+    // -- deterministic hash sampling (portable face): exact row set
+    //    reproducible by any engine
+    "corpus_sample" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Sampling.samplePortable(d, "doc_id", 10).select(col("doc_id"))
+    }),
+
     // -- token heavy-hitters: corpus-wide frequency top-20 (deterministic
     //    tie-break) — the "what's in my training data" staple
     "text_top_tokens" -> ((s, dir) => {
@@ -1029,6 +1056,29 @@ object SparkEntry {
            CAST(len(string_split(text,' ')) AS INTEGER) AS n_ws,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe
          FROM documents""",
+
+    "text_normalize" ->
+      """SELECT doc_id,
+           lower(trim(regexp_replace(regexp_replace(text, '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS norm
+         FROM documents""",
+
+    "text_redact" ->
+      """WITH l AS (
+           SELECT doc_id,
+             concat('from user', CAST(doc_id % 31 AS VARCHAR),
+                    '@ex', CAST(doc_id % 7 AS VARCHAR),
+                    '.com at 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                    '.', CAST(doc_id % 100 AS VARCHAR),
+                    ' wrote: ', text) AS line
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+         FROM l""",
+
+    "corpus_sample" ->
+      "SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10",
 
     "text_top_tokens" ->
       s"""WITH tokseq AS (${graft.sources.TokenTable.duckdbCte}),

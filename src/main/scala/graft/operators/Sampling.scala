@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the reproducibility requirement of a
+  * training-data pipeline: the same row set survives on every run, on any
+  * cluster size, with disjoint complements (no RNG, no per-partition
+  * state; contrast `df.sample`, which depends on partitioning).
+  */
+object Sampling {
+
+  /** Keep a row iff `xxhash64(key) mod 100 < pct` — the library default
+    * (xxhash64 is Spark-native and uniform; the complement is exactly the
+    * other rows).
+    */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(pmod(xxhash64(col(keyCol)), lit(100L)) < pct)
+
+  /** Engine-portable variant over an int64 key: multiplicative hash
+    * `(key·2654435761) mod 100 < pct` — any engine reproduces the exact
+    * row set (the cross-engine-auditable face; weaker mixing than
+    * xxhash64, fine for ids without adversarial structure).
+    */
+  def hashSamplePortable(df: DataFrame, keyCol: String, pct: Int): Column =
+    (col(keyCol) * 2654435761L) % 100L < pct
+
+  def samplePortable(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashSamplePortable(df, keyCol, pct))
+}

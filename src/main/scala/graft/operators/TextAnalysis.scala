@@ -94,6 +94,23 @@ object TextAnalysis {
     }
   }
 
+  // ------------------------------------------------------- text cleaning
+  /** Normalization for dedup keys / training text: strip sentence
+    * punctuation, collapse whitespace runs, trim, lowercase. Plain
+    * codegen'd string expressions; patterns are RE2-safe so external
+    * engines (and the DuckDB oracle) reproduce them exactly.
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(text, "[.,!?;:]", ""), " +", " ")))
+
+  /** PII redaction masks (RE2-compatible, ASCII word boundaries). */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Regex = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Redact emails and IPv4 addresses — the pre-training PII scrub. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRegex, "<EMAIL>"), Ipv4Regex, "<IP>")
+
   // -------------------------------------------------------- fingerprint
   /** Per-word key for the rolling hash: 96·len(w) + ascii(first char) —
     * engine-portable (ascii('')=0 in both Spark and DuckDB).

@@ -82,6 +82,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0) > got(1))
   }
 
+  test("normalize + redact: punctuation/whitespace/case cleaned; emails and IPs masked") {
+    val got = Seq("  Hello,  WORLD!  ping me: a.b+c@ex.co or 192.168.0.1 ok ")
+      .toDF("t")
+      .select(TextAnalysis.normalize(col("t")).as("n"),
+        TextAnalysis.redactPii(col("t")).as("r"))
+      .as[(String, String)].collect()(0)
+    assert(got._1 == "hello world ping me ab+c@exco or 19216801 ok")
+    assert(got._2.contains("<EMAIL>") && got._2.contains("<IP>"))
+    assert(!got._2.contains("@ex.co") && !got._2.contains("192.168.0.1"))
+  }
+
+  test("hash sampling: deterministic, ~pct kept, complement exactly disjoint") {
+    val d = spark.range(0, 10000).toDF("id")
+    val kept = graft.operators.Sampling.hashSample(d, "id", 10)
+    val n = kept.count()
+    assert(n > 800 && n < 1200, s"kept $n of 10000 at 10%")
+    assert(kept.count() == n) // deterministic re-run
+    val complement = d.exceptAll(kept)
+    assert(complement.count() == 10000 - n)
+    assert(kept.intersect(complement).count() == 0)
+  }
+
   test("multimodal decode stub: typed pipeline produces deterministic features") {
     import Multimodal._
     val recs = Seq(
