@@ -366,6 +366,28 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // -- the CANONICAL near-dup pipeline: LSH candidates → verify (true
+    //    token equality — kills band-key collision false positives) →
+    //    connected components → canonical keeper per cluster + all
+    //    never-candidate docs. Manufactured even/odd dups make the keeper
+    //    set pure arithmetic for the oracle.
+    "curate_neardup" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"),
+          TokenTable.tokensFor(col("doc_id") - col("doc_id") % 2).as("tokens"))
+      val cand = Dedup.lshCandidatePairs(base, "id", "tokens", numHashes = 8, rowsPerBand = 2)
+      val verified = cand
+        .join(base.select(col("id").as("id_a"), col("tokens").as("ta")), Seq("id_a"))
+        .join(base.select(col("id").as("id_b"), col("tokens").as("tb")), Seq("id_b"))
+        .filter(col("ta") === col("tb"))
+        .select(col("id_a"), col("id_b"))
+      val comp = Dedup.connectedComponents(verified, "id_a", "id_b")
+      val keepers = comp.filter(col("id") === col("comp")).select(col("id"))
+      val neverCandidate = base.select(col("id"))
+        .join(comp.select(col("id")), Seq("id"), "left_anti")
+      keepers.union(neverCandidate).select(col("id").as("doc_id"))
+    }),
+
     // -- SimHash (16-bit) over token ids
     "dedup_simhash" -> ((s, dir) => {
       val t = TokenTable.fromDocuments(s, dir)
@@ -905,6 +927,10 @@ object SparkEntry {
          SELECT DISTINCT a.id AS id_a, b.id AS id_b
          FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id"""
     },
+
+    "curate_neardup" ->
+      """SELECT doc_id FROM documents
+         WHERE doc_id % 2 = 0 OR (doc_id - 1) % 64 = 0""",
 
     "dedup_cc" ->
       """SELECT doc_id AS id, doc_id - doc_id % 5 AS comp

@@ -148,6 +148,31 @@ class FiltersSpec extends AnyFunSuite {
     assert(kept.take(6) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("property: scalable throttle ≡ exact over random timestamps, rates, salts") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalatest.prop.Configuration
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      offs <- Gen.listOfN(n, Gen.choose(0, 7200)) // seconds within 2 panes+
+      rate <- Gen.oneOf(0.001, 0.005, 0.02, 0.2)
+      salts <- Gen.oneOf(1, 3, 8)
+    } yield (offs, rate, salts)
+    val prop = Prop.forAllNoShrink(gen) { case (offs, rate, salts) =>
+      val rows = offs.zipWithIndex.map { case (o, i) =>
+        (new java.sql.Timestamp((1700000000L + o) * 1000L), i.toLong)
+      }
+      val df = rows.toDF("ts", "id").repartition(5)
+      val exact = Throttle.apply("ts", "id", 3600, rate)(df)
+        .select("id").as[Long].collect().sorted.toSeq
+      val two = Throttle.scalable("ts", "id", 3600, rate, salts)(df)
+        .select("id").as[Long].collect().sorted.toSeq
+      exact == two
+    }
+    org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+      .passed || (throw new AssertionError("scalable != exact"))
+  }
+
   test("two-phase scalable throttle is row-identical to the exact formulation") {
     // skewed panes: pane 0 holds 500 rows, pane 1 holds 7 — both above and
     // below the cap, plus intra-second ties broken by id
