@@ -60,6 +60,37 @@ object GraftExtensions {
     },
     "unescape_utf8" -> { children: Seq[Expression] =>
       UnescapeCString(children.head, utf8 = true)
+    },
+    // fused vector/token math (one pass per row; see functions.VecMath)
+    "vec_cosine" -> { children: Seq[Expression] =>
+      graft.functions.CosineSim(children.head, children(1))
+    },
+    "vec_dot" -> { children: Seq[Expression] =>
+      graft.functions.DotProduct(children.head, children(1))
+    },
+    "srp_bucket" -> { children: Seq[Expression] =>
+      val planes = children(1) match {
+        case Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException("srp_bucket planes must be an int literal")
+      }
+      graft.functions.SrpBucket(children.head, planes)
+    },
+    "token_fold" -> { children: Seq[Expression] =>
+      graft.functions.TokenFold(children.head)
+    },
+    "minhash_sig" -> { children: Seq[Expression] =>
+      val n = children(1) match {
+        case Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException("minhash_sig n must be an int literal")
+      }
+      graft.functions.MinHashSig(children.head, n)
+    },
+    "ngram_overlap" -> { children: Seq[Expression] =>
+      val n = children(2) match {
+        case Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException("ngram_overlap n must be an int literal")
+      }
+      graft.functions.NgramOverlap(children.head, children(1), n)
     })
 
   /** Register on an EXISTING session (extensions only apply at session

@@ -30,6 +30,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(3) == "a\nb")
   }
 
+  test("fused vector/token math is SQL-callable") {
+    val r = spark.sql(
+      """SELECT
+        |  vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  srp_bucket(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 4) AS b,
+        |  token_fold(array(1, 2, 3)) AS tf,
+        |  minhash_sig(array(1, 2, 3, 4), 2)[0] AS mh,
+        |  ngram_overlap('a b c d', 'a b c x', 3).inter AS ni
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) >= 0 && r.getLong(2) < 16)
+    assert(r.getLong(3) == ((1L * 31 + 2) * 31 + 3) % 1000000007L)
+    assert(r.getLong(4) > 0)
+    assert(r.getInt(5) == 1) // only "a|b|c" shared
+  }
+
   test("glob_match compiles to LIKE in the plan (pushdown-eligible)") {
     import spark.implicits._
     val df = Seq("app.x", "db.y").toDF("tag")
