@@ -316,6 +316,21 @@ object SparkEntry {
       c.join(o.select(col("o_custkey")), c("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
     }),
+    // -- as-of join: latest per-user dim row at-or-before the event time
+    //    (dims derived identically in both engines; DuckDB checks with its
+    //    native ASOF JOIN — an independent algorithm, not a port)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val days = ev.select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+      val dims = days
+        .select(col("user_id"), col("d"), explode(sequence(lit(0), lit(3))).as("k"))
+        .select(col("user_id"),
+          timestamp_micros(unix_micros(col("d")) + col("k") * 21600000000L).as("ts_d"),
+          (col("user_id") * 10 + col("k")).cast("long").as("val"))
+      AsOfJoin.lastBefore(ev, "user_id", "ts", dims, "user_id", "ts_d", "val")
+        .select(col("event_id"), col("val"))
+    }),
+
     "q_window_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -881,6 +896,16 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_asof_join" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+         dims AS (
+           SELECT user_id, d + to_hours(CAST(6*k AS BIGINT)) AS ts_d,
+                  CAST(user_id*10 + k AS BIGINT) AS val
+           FROM days, (SELECT unnest([0,1,2,3]) AS k) ks)
+         SELECT e.event_id, d.val
+         FROM events e ASOF LEFT JOIN dims d
+           ON e.user_id = d.user_id AND e.ts >= d.ts_d""",
 
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (

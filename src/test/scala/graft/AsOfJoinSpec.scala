@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** ASOF semantics: latest dim ≤ event ts per key, inclusive bound, null
+  * (left-join) before the first dim — the DuckDB ASOF JOIN contract.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("latest-at-or-before per key; inclusive tie; null before first dim") {
+    val events = Seq(
+      (1L, ts(100), "e1"), // before any dim → null
+      (1L, ts(200), "e2"), // exactly at dim(200) → inclusive
+      (1L, ts(250), "e3"), // between 200 and 300 → 200's value
+      (1L, ts(999), "e4"), // after the last dim → 300's value
+      (2L, ts(500), "e5")  // other key → its own dim
+    ).toDF("k", "ts", "event_id")
+    val dims = Seq(
+      (1L, ts(200), "v200"), (1L, ts(300), "v300"), (2L, ts(400), "w400")
+    ).toDF("k", "ts_d", "v")
+    val got = AsOfJoin.lastBefore(events, "k", "ts", dims, "k", "ts_d", "v")
+      .select("event_id", "v").as[(String, Option[String])].collect().toMap
+    assert(got == Map(
+      "e1" -> None, "e2" -> Some("v200"), "e3" -> Some("v200"),
+      "e4" -> Some("v300"), "e5" -> Some("w400")))
+  }
+
+  test("one exchange per input side (sort-based, no per-event probe)") {
+    val events = spark.range(0, 1000).select(
+      (col("id") % 7).as("k"), timestamp_micros(col("id") * 1000000L).as("ts"),
+      col("id").as("event_id"))
+    val dims = spark.range(0, 50).select(
+      (col("id") % 7).as("k"), timestamp_micros(col("id") * 17000000L).as("ts_d"),
+      col("id").as("v"))
+    val out = AsOfJoin.lastBefore(events, "k", "ts", dims, "k", "ts_d", "v")
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(out.count() == 1000)
+  }
+}
