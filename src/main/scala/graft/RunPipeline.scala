@@ -53,7 +53,7 @@ object RunPipeline {
         val files = Files.list(Paths.get(s"$workDir/in/snap$i")).iterator.asScala
           .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
         ledger.writeSnapshot(Snapshot(i.toLong, files))
-        println(s"[pipeline] generated snapshot $i: $per rows, ${files.size} files")
+        println(s"[pipeline] generated snapshot $i: ${hi - i * per} rows, ${files.size} files")
       }
     }
 
