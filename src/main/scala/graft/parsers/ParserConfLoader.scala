@@ -63,8 +63,17 @@ object ParserConfLoader {
         val decoders: Seq[DecoderRule] = s.entries.collect {
           case (k, v) if k.equalsIgnoreCase("Decode_Field") || k.equalsIgnoreCase("Decode_Field_As") =>
             val parts = v.trim.split("\\s+")
-            DecoderRule(backend = parts(0).toLowerCase, key = parts(1),
-              action = if (parts.length > 2) parts(2).toLowerCase else "",
+            val backend = parts(0).toLowerCase
+            // backend validated at LOAD time like the reference's
+            // flb_parser_decoder_list_create (unknown name → config error)
+            if (!Set("escaped", "escaped_utf8", "json").contains(backend))
+              throw new IllegalArgumentException(
+                s"parser $name: unknown decoder backend '$backend'")
+            val action = if (parts.length > 2) parts(2).toLowerCase else ""
+            if (action.nonEmpty && action != "try_next" && action != "do_next")
+              throw new IllegalArgumentException(
+                s"parser $name: unknown decoder action '$action'")
+            DecoderRule(backend = backend, key = parts(1), action = action,
               inPlace = k.equalsIgnoreCase("Decode_Field_As"))
         }
         name -> ParserDef(

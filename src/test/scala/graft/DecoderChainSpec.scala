@@ -87,6 +87,15 @@ class DecoderChainSpec extends AnyFunSuite {
     assert(out == Map("other" -> "v"))
   }
 
+  test("loader rejects unknown decoder backends and actions at config time") {
+    def conf(rule: String) =
+      s"[PARSER]\n    Name d\n    Format json\n    $rule\n"
+    intercept[IllegalArgumentException](
+      ParserConfLoader.load(conf("Decode_Field_As mystery log")))
+    intercept[IllegalArgumentException](
+      ParserConfLoader.load(conf("Decode_Field json log do_other")))
+  }
+
   test("loader parses Decode_Field(_As) with actions in encounter order") {
     val conf =
       """[PARSER]
