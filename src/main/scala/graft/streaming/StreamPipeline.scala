@@ -81,6 +81,68 @@ object StreamPipeline {
       }
   }
 
+  // ------------------------------------------------------------ multiline
+  final case class MlLine(file: String, lineNo: Long, line: String)
+  final case class MlPending(startLine: Long, buf: String)
+  final case class MlRecord(file: String, firstLine: Long, record: String)
+
+  /** Streaming `tail` multiline: firstline-anchored record assembly with
+    * state that carries a PARTIAL record across micro-batches — the
+    * reference buffers exactly this in `struct flb_tail_file`
+    * (`tail_multiline.c:250-313`); a record whose continuation lines
+    * arrive in a later chunk must still assemble.
+    *
+    * A pending record closes when the next head arrives. The LAST record
+    * of a stream stays pending until its key times out
+    * (`timeoutMs` ≈ the reference's `Flush_MS` wall-clock flush;
+    * `timeoutMs <= 0` disables the flush — pending records then only close
+    * on the next head, which keeps bounded drains deterministic) — an
+    * inherent property of head-anchored assembly, not an implementation
+    * gap.
+    *
+    * Contract: lines of one file arrive in order ACROSS micro-batches
+    * (within a batch they are sorted by lineNo) — the tail source reads
+    * files sequentially, so this matches the reference's input model;
+    * an out-of-order source would need a watermark-buffered sort first.
+    */
+  def multiline(ds: Dataset[MlLine], firstlineRegex: String,
+                timeoutMs: Long = 4000): Dataset[MlRecord] = {
+    import ds.sparkSession.implicits._
+    val re = firstlineRegex.r
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.file)
+      .flatMapGroupsWithState[MlPending, MlRecord](
+        OutputMode.Append, timeoutConf) {
+        (file: String, rows: Iterator[MlLine], state: GroupState[MlPending]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // Flush_MS fired: emit whatever is buffered
+            val out = state.getOption.map(p => MlRecord(file, p.startLine, p.buf)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.lineNo)
+            var pending = state.getOption
+            val out = Seq.newBuilder[MlRecord]
+            sorted.foreach { l =>
+              if (re.findFirstIn(l.line).isDefined) {
+                pending.foreach(p => out += MlRecord(file, p.startLine, p.buf))
+                pending = Some(MlPending(l.lineNo, l.line))
+              } else pending = pending.map(p => p.copy(buf = p.buf + "\n" + l.line))
+              // leading continuations before any head are dropped (batch ≡)
+            }
+            pending match {
+              case Some(p) =>
+                state.update(p)
+                if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+              case None => if (state.exists) state.remove()
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Run a stream to completion over existing files (test/batch-drain
     * mode): memory sink, AvailableNow, blocking.
     */

@@ -97,6 +97,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Seq((0L, 10L), (1L, 10L))) // 50 offered per pane, 10 pass
   }
 
+  test("streaming multiline: a record spanning micro-batches assembles via state") {
+    import StreamPipeline.MlLine
+    val dir = Files.createTempDirectory("graft-stream-ml").toString
+    // one logical file, lines split across two input files → two batches
+    // (maxFilesPerTrigger=1); record B starts in batch 1, ends in batch 2
+    // one parquet file per chunk (coalesce) + distinct mod times: tail
+    // reads are inherently in-order per file — the operator's contract
+    Seq(MlLine("app.log", 1, "HEAD a"), MlLine("app.log", 2, "  a2"),
+      MlLine("app.log", 3, "  a3"), MlLine("app.log", 4, "HEAD b"),
+      MlLine("app.log", 5, "  b2"))
+      .toDF().coalesce(1).write.parquet(s"$dir/part1")
+    Thread.sleep(1100)
+    Seq(MlLine("app.log", 6, "  b3"), MlLine("app.log", 7, "HEAD c"),
+      MlLine("app.log", 8, "  c2"))
+      .toDF().coalesce(1).write.parquet(s"$dir/part2")
+    val stream = spark.readStream
+      .schema(Seq.empty[MlLine].toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part*").as[MlLine]
+    // timeoutMs = 0 → no wall-clock flush: a bounded AvailableNow drain
+    // stays deterministic (C remains pending by design)
+    val out = StreamPipeline.multiline(stream, "^HEAD", timeoutMs = 0)
+    StreamPipeline.drainToMemory(out.toDF(), "ml_out")
+    val got = spark.sql("SELECT firstLine, record FROM ml_out ORDER BY firstLine")
+      .as[(Long, String)].collect().toSeq
+    // A closed by B's head (same batch); B closed by C's head — ACROSS the
+    // batch boundary, so its continuation lines came from batch 2's state.
+    // C stays pending until Flush_MS (stream ended first) — reference
+    // semantics, asserted absent.
+    assert(got == Seq(1L -> "HEAD a\n  a2\n  a3", 4L -> "HEAD b\n  b2\n  b3"))
+  }
+
   test("streaming dedup: duplicates dropped across micro-batches (bounded state)") {
     val dir = Files.createTempDirectory("graft-stream-dd").toString
     // two files → two potential batches; doc 1..50 duplicated in both
