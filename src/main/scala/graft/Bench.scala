@@ -243,7 +243,27 @@ object Bench {
          || dedup signatures/sec (MinHash-8 + SimHash-16, local[32]) | ${"%,.0f".format(thrDedup)} |
          || per-query total (sf tables, steady-state) | ${"%.2f".format(totalSec)} s over ${results.size} queries |
          |""".stripMargin
-    try Files.writeString(Paths.get("BENCH.md"), md) catch { case _: Throwable => () }
+    // run history survives rewrites: carry prior rows forward, append this
+    // run — host throttling makes single runs noisy, the distribution is
+    // the honest report
+    val oldRows =
+      try Files.readString(Paths.get("BENCH.md")).linesIterator
+        .filter(l => l.startsWith("| 20") && l.count(_ == '|') == 7)
+        .map(_.replace(" (latest)", "")).toSeq
+      catch { case _: Throwable => Seq.empty[String] }
+    val now = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"))
+    val newRow = s"| $now (latest) | ${"%,.0f".format(thr32)} rows/s | " +
+      s"${"%.3f".format(efficiency)} | ${"%.3f".format(efficiencyMed)} | ${"%.1f".format(spread * 100)}% |"
+    val history =
+      s"""
+         |## Run history (same protocol; host-throttle weather varies)
+         |
+         || run | local[32] best | scaling best | scaling median | spread |
+         ||---|---|---|---|---|
+         |${(oldRows :+ newRow).mkString("\n")}
+         |""".stripMargin
+    try Files.writeString(Paths.get("BENCH.md"), md + history) catch { case _: Throwable => () }
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed — failing the bench")
       sys.exit(1)
