@@ -316,6 +316,15 @@ object SparkEntry {
       c.join(o.select(col("o_custkey")), c("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
     }),
+    // -- scale-safe per-group top-k (bounded O(k) aggregation buffer with
+    //    map-side combine) — SAME oracle as the window formulation
+    //    q_window_topk, proving row identity of the two plans
+    "q_group_topk" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      TopK.perGroup(o, "o_custkey", "o_totalprice", "o_orderkey", 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank").as("rn"))
+    }),
+
     // -- as-of join: latest per-user dim row at-or-before the event time
     //    (dims derived identically in both engines; DuckDB checks with its
     //    native ASOF JOIN — an independent algorithm, not a port)
@@ -896,6 +905,13 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_group_topk" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
 
     "q_asof_join" ->
       """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
