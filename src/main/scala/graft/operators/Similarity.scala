@@ -53,13 +53,14 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, qid: String, qvec: String,
                      cands: DataFrame, cid: String, cvec: String,
                      k: Int, excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val joined = cands.join(broadcast(queries),
       if (excludeSelf) col(qid) =!= col(cid) else lit(true))
     val scored = joined.withColumn("cos", cosine(col(qvec), col(cvec)))
-    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // k-bounded per-query aggregation (map-side combine) — not a window:
+    // a window sorts EVERY (query × candidate) score; the aggregator
+    // carries k entries per query per partition (null scores excluded)
+    TopK.perGroupWithOrd(scored.select(col(qid), col("cos"), col(cid)),
+        qid, "cos", cid, k)
       .select(col(qid), col(cid), col("cos"), col("rank"))
   }
 
@@ -98,14 +99,12 @@ object Similarity {
   def lshTopK(queries: DataFrame, qid: String, qvec: String,
               cands: DataFrame, cid: String, cvec: String,
               k: Int, planes: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qb = queries.withColumn("_bucket", srpBucket(col(qvec), planes))
     val cb = cands.withColumn("_bucket", srpBucket(col(cvec), planes))
     val joined = cb.join(broadcast(qb), Seq("_bucket")).filter(col(qid) =!= col(cid))
     val scored = joined.withColumn("cos", cosine(col(qvec), col(cvec)))
-    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopK.perGroupWithOrd(scored.select(col(qid), col("cos"), col(cid)),
+        qid, "cos", cid, k)
       .select(col(qid), col(cid), col("cos"), col("rank"))
   }
 
@@ -161,10 +160,10 @@ object Similarity {
     val qCells = ivfAssignN(queries, qid, qvec, centroids, nprobe)
     val cCells = ivfAssign(cands, cid, cvec, centroids)
     val joined = cCells.join(broadcast(qCells), Seq("cell")).filter(col(qid) =!= col(cid))
-    val w = Window.partitionBy(col(qid)).orderBy(cosine(col(qvec), col(cvec)).desc, col(cid))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qid), col(cid), cosine(col(qvec), col(cvec)).as("cos"), col("rank"))
+    val scored = joined.withColumn("cos", cosine(col(qvec), col(cvec)))
+    TopK.perGroupWithOrd(scored.select(col(qid), col("cos"), col(cid)),
+        qid, "cos", cid, k)
+      .select(col(qid), col(cid), col("cos"), col("rank"))
   }
 
   /** Embedding near-duplicate pairs: same-bucket pairs with cosine above a

@@ -57,9 +57,19 @@ object TopK {
     */
   def perGroup(df: DataFrame, groupCol: String, ordCol: String,
                idCol: String, k: Int): DataFrame =
-    df.groupBy(col(groupCol))
+    perGroupWithOrd(df, groupCol, ordCol, idCol, k).drop(ordCol)
+
+  /** Like [[perGroup]] but keeps the ordering value (e.g. the cosine
+    * score) in the output. Rows with a NULL ordering value are excluded
+    * (a window formulation would rank them last; a k-bounded buffer has
+    * no meaningful slot for "unordered").
+    */
+  def perGroupWithOrd(df: DataFrame, groupCol: String, ordCol: String,
+                      idCol: String, k: Int): DataFrame =
+    df.filter(col(ordCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(agg(col(ordCol), col(idCol), k).as("_tk"))
       .select(col(groupCol), posexplode(col("_tk")).as(Seq("_pos", "_e")))
-      .select(col(groupCol), col("_e._2").as(idCol),
+      .select(col(groupCol), col("_e._1").as(ordCol), col("_e._2").as(idCol),
         (col("_pos") + 1).cast("int").as("rank"))
 }
