@@ -248,7 +248,7 @@ object Bench {
     // the honest report
     val oldRows =
       try Files.readString(Paths.get("BENCH.md")).linesIterator
-        .filter(l => l.startsWith("| 20") && l.count(_ == '|') == 7)
+        .filter(l => l.startsWith("| 20") && l.count(_ == '|') == 6)
         .map(_.replace(" (latest)", "")).toSeq
       catch { case _: Throwable => Seq.empty[String] }
     val now = java.time.LocalDateTime.now()
