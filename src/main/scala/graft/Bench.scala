@@ -175,7 +175,9 @@ object Bench {
     // extra blocks) rather than publish a window artifact. Every block's
     // raw values are reported in the JSON, nothing is discarded.
     var extra = 0
-    while (bestEff < 0.82 && extra < 4) {
+    val extensionDeadline = System.nanoTime() +
+      sys.env.getOrElse("GRAFT_BENCH_EXTENSION_BUDGET_SEC", "420").toLong * 1000000000L
+    while (bestEff < 0.82 && extra < 4 && System.nanoTime() < extensionDeadline) {
       System.err.println(f"[bench] efficiency ${bestEff}%.3f below margin — sampling another block")
       blocks += ((measureBlock(4), measureBlock(16), measureBlock(32)))
       extra += 1
