@@ -272,13 +272,10 @@ object Bench {
     val newRow = s"| $now (latest) | ${"%,.0f".format(thr32)} rows/s | " +
       s"${"%.3f".format(efficiency)} | ${"%.3f".format(efficiencyMed)} | ${"%.1f".format(spread * 100)}% |"
     val history =
-      s"""
-         |## Run history (same protocol; host-throttle weather varies)
-         |
-         || run | local[32] best | scaling best | scaling median | spread |
-         ||---|---|---|---|---|
-         |${(oldRows :+ newRow).mkString("\n")}
-         |""".stripMargin
+      "\n## Run history (same protocol; host-throttle weather varies)\n\n" +
+        "| run | local[32] best | scaling best | scaling median | spread |\n" +
+        "|---|---|---|---|---|\n" +
+        (oldRows :+ newRow).mkString("\n") + "\n"
     try Files.writeString(Paths.get("BENCH.md"), md + history) catch { case _: Throwable => () }
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed — failing the bench")
