@@ -462,9 +462,13 @@ object SparkEntry {
     //    all same-bucket pairs, exact doubles both sides)
     "dedup_embed_pairs" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+      // maxBucket raised above any fixture bucket: this query's DuckDB
+      // oracle enumerates ALL same-bucket pairs, so the oracle-facing
+      // call must be uncapped; the library default (1000) is the
+      // production skew guard (SimilaritySpec proves its bound)
       Similarity.embeddingNearDupPairs(
         e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-        threshold = 0.0, planes = 8)
+        threshold = 0.0, planes = 8, maxBucket = 1 << 20)
     }),
 
     // -- int8 embedding quantization: per-row scale + portable digest of
@@ -976,7 +980,7 @@ object SparkEntry {
     "dedup_cc" ->
       """SELECT doc_id AS id, doc_id - doc_id % 5 AS comp
          FROM documents WHERE doc_id < (SELECT max(doc_id) FROM documents)
-            OR doc_id % 5 = 4""",
+            OR doc_id % 5 <> 0""",
 
     "dedup_simhash" ->
       s"""$tokCtes

@@ -95,9 +95,10 @@ case class RegexParse(child: Expression, pattern: String, fields: Seq[ParsedFiel
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("parser", this, classOf[RegexParse].getName)
     nullSafeCodeGen(ctx, ev, input => {
+      val r = ctx.freshName("r")
       s"""
-         |org.apache.spark.sql.catalyst.InternalRow r = $ref.convert($input);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |org.apache.spark.sql.catalyst.InternalRow $r = $ref.convert($input);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
   }

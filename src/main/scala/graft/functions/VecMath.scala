@@ -54,9 +54,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dot", this, classOf[DotProduct].getName)
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
       s"""
-         |Object r = $ref.compute($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+         |Object $r = $ref.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
        """.stripMargin
     })
   }
@@ -104,9 +105,10 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cos", this, classOf[CosineSim].getName)
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
       s"""
-         |Object r = $ref.compute($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+         |Object $r = $ref.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
        """.stripMargin
     })
   }
@@ -144,9 +146,10 @@ case class L2Squared(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("l2", this, classOf[L2Squared].getName)
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
       s"""
-         |Object r = $ref.compute($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+         |Object $r = $ref.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
        """.stripMargin
     })
   }
@@ -197,9 +200,10 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("srp", this, classOf[SrpBucket].getName)
     nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
       s"""
-         |Object r = $ref.compute($a);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+         |Object $r = $ref.compute($a);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }
        """.stripMargin
     })
   }

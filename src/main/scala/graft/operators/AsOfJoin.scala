@@ -26,8 +26,16 @@ object AsOfJoin {
   def lastBefore(events: DataFrame, eKey: String, eTs: String,
                  dims: DataFrame, dKey: String, dTs: String,
                  valCols: Seq[String]): DataFrame = {
+    require(!valCols.exists(events.columns.contains),
+      s"events already carry ${valCols.filter(events.columns.contains).mkString(",")} — " +
+        "a same-named event column would poison the carry-forward; alias the dim values")
     val d = dims.select(
-      col(dKey).as(eKey) +: col(dTs).as(eTs) +: valCols.map(col): _*)
+      col(dKey).as(eKey) +: col(dTs).as(eTs) +:
+        // the carried payload is a per-dim-row STRUCT: a dim whose VALUE
+        // is null still counts as the latest dim (the struct is non-null),
+        // exactly like ASOF JOIN returning that row's null value — a bare
+        // last(value, ignoreNulls) would skip back to an older dim
+        Seq(struct(valCols.map(col): _*).as("_dimval")): _*)
       .withColumn("_is_dim", lit(1))
     val e = events.withColumn("_is_dim", lit(0))
     val all = e.unionByName(d, allowMissingColumns = true)
@@ -35,9 +43,10 @@ object AsOfJoin {
     val w = Window.partitionBy(col(eKey))
       .orderBy(col(eTs), col("_is_dim").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = valCols.foldLeft(all)((df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w)))
-    filled.filter(col("_is_dim") === 0).drop("_is_dim")
+    val filled = all.withColumn("_dv", last(col("_dimval"), ignoreNulls = true).over(w))
+    valCols.foldLeft(filled)((df, v) => df.withColumn(v, col(s"_dv.$v")))
+      .filter(col("_is_dim") === 0)
+      .drop("_is_dim", "_dimval", "_dv")
   }
 
   /** Convenience: single value column. */

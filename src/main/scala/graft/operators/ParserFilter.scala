@@ -43,10 +43,13 @@ object ParserFilter {
         // MapType cannot hold duplicate keys (map_concat throws): reserve
         // appends only original keys the parse did not produce — the
         // documented last-wins… here first(parsed)-wins deviation from
-        // msgpack's duplicate-tolerant concat (SURVEY §7.5.3)
+        // msgpack's duplicate-tolerant concat (SURVEY §7.5.3).
+        // Key MEMBERSHIP, not value-null: a parsed-but-null field (e.g.
+        // an unmatched optional group) still owns its key — element_at
+        // null would re-admit the original and blow up map_concat.
         val base =
           if (reserveData) map_concat(parsedMap,
-            map_filter(withoutKey, (k, _) => element_at(parsedMap, k).isNull))
+            map_filter(withoutKey, (k, _) => !map_contains_key(parsedMap, k)))
           else parsedMap
         val withKey =
           if (preserveKey)

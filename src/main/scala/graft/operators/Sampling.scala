@@ -18,12 +18,17 @@ object Sampling {
     df.filter(pmod(xxhash64(col(keyCol)), lit(100L)) < pct)
 
   /** Engine-portable variant over an int64 key: multiplicative hash
-    * `(key·2654435761) mod 100 < pct` — any engine reproduces the exact
+    * `pmod(key·2654435761, 100) < pct` — any engine reproduces the exact
     * row set (the cross-engine-auditable face; weaker mixing than
-    * xxhash64, fine for ids without adversarial structure).
+    * xxhash64, fine for ids without adversarial structure). pmod keeps
+    * NEGATIVE keys correctly sampled (C-style % would put every negative
+    * key's remainder below pct). Portable domain: |key| < 2³¹ (the
+    * product must not overflow in engines that error on int64 overflow —
+    * DuckDB does; Java wraps). For non-negative keys the expression
+    * equals plain `%`, so SQL oracles can use either.
     */
   def hashSamplePortable(df: DataFrame, keyCol: String, pct: Int): Column =
-    (col(keyCol) * 2654435761L) % 100L < pct
+    pmod(col(keyCol) * 2654435761L, lit(100L)) < pct
 
   def samplePortable(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(hashSamplePortable(df, keyCol, pct))

@@ -48,7 +48,12 @@ object TopK {
     def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
-  /** Aggregate column: top-k (ord desc, id asc) pairs per group. */
+  /** Aggregate column: top-k (ord desc, id asc) pairs per group.
+    *
+    * Contract: `ord` must be numeric (cast to double — exact for decimals
+    * below 2⁵²) and `id` must be INTEGRAL (cast to long; output id type is
+    * LongType). Non-numeric ids need the window formulation.
+    */
   def agg(ord: Column, id: Column, k: Int): Column =
     udaf(new TopKAgg(k), Encoders.product[(Double, Long)])(ord.cast("double"), id.cast("long"))
 
@@ -66,7 +71,7 @@ object TopK {
     */
   def perGroupWithOrd(df: DataFrame, groupCol: String, ordCol: String,
                       idCol: String, k: Int): DataFrame =
-    df.filter(col(ordCol).isNotNull)
+    df.filter(col(ordCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(agg(col(ordCol), col(idCol), k).as("_tk"))
       .select(col(groupCol), posexplode(col("_tk")).as(Seq("_pos", "_e")))

@@ -212,7 +212,7 @@ object ConfPipeline {
             val path = o.options.getOrElse("path", s"$outDir/$sinkName")
             val timeAsInt = o.options.get("time_as_integer").exists(_.equalsIgnoreCase("on"))
             val recCols = rows.columns.filterNot(_ == "tag")
-            val framed = graft.sinks.Forward.frames(
+            graft.sinks.Forward.frames(
               rows.withColumn("_sec",
                   if (rows.columns.contains("ts")) unix_timestamp(col("ts")) else lit(0L))
                 .withColumn("_nsec", lit(0))
@@ -220,8 +220,12 @@ object ConfPipeline {
                   Seq(lit(c), col(c).cast("string"))): _*))
                 .withColumn("_ord", xxhash64(col(recCols.head))),
               "tag", "_sec", "_nsec", "_rec", "_ord", timeAsInteger = timeAsInt)
-            framed.write.mode("overwrite").parquet(path)
-            framed.agg(sum(col("n_entries"))).collect()(0).getLong(0)
+              .write.mode("overwrite").parquet(path)
+            // count from the WRITTEN table (column-pruned scan) — no
+            // recompute of the frame aggregation, no NPE on empty sinks
+            cached.sparkSession.read.parquet(path)
+              .agg(coalesce(sum(col("n_entries")), lit(0L)))
+              .collect()(0).getLong(0)
           case "counter" | "null" => rows.count()
           case "flowcounter" if rows.columns.contains("ts") =>
             val unit = o.options.getOrElse("unit", "minute")

@@ -83,7 +83,9 @@ case class ForwardEntry(first: Expression, second: Expression, third: Expression
     var i = 0
     while (i < n) {
       Msgpack.packStr(out, ks.getUTF8String(i).getBytes)
-      Msgpack.packStr(out, vs.getUTF8String(i).getBytes)
+      // null record values pack as msgpack nil (parsed-but-absent fields)
+      if (vs.isNullAt(i)) out.write(0xc0)
+      else Msgpack.packStr(out, vs.getUTF8String(i).getBytes)
       i += 1
     }
     out.toByteArray
@@ -167,8 +169,10 @@ object MsgpackDecode {
     case h => throw new IllegalArgumentException(f"not a map header: 0x$h%02x")
   }
 
+  /** String or nil (→ null). */
   def readStr(c: Cursor): String = {
     val n = u8(c) match {
+      case 0xc0 => return null // msgpack nil
       case h if (h & 0xe0) == 0xa0 => h & 0x1f
       case 0xd9 => u8(c)
       case 0xda => beN(c, 2).toInt
@@ -180,11 +184,20 @@ object MsgpackDecode {
     s
   }
 
-  /** EventTime fixext8 OR integer epoch → (sec, nsec). */
+  /** EventTime (fixext8 OR ext8 — the reference accepts both,
+    * `flb_time_pop_from_msgpack` via msgpack EXT) or integer epoch →
+    * (sec, nsec).
+    */
   def readTime(c: Cursor): (Long, Long) = (c.b(c.i) & 0xff) match {
     case 0xd7 =>
       val (s, n) = FlbTime.unpackEventTime(java.util.Arrays.copyOfRange(c.b, c.i, c.i + 10))
       c.i += 10
+      (s, n)
+    case 0xc7 if (c.b(c.i + 1) & 0xff) == 8 && c.b(c.i + 2) == 0 =>
+      // ext8 form: 0xc7 len=8 type=0 then the same 8-byte payload
+      c.i += 3
+      val s = beN(c, 4)
+      val n = beN(c, 4)
       (s, n)
     case h if h < 0x80 => c.i += 1; (h.toLong, 0L)
     case 0xcc => c.i += 1; (u8(c).toLong, 0L)

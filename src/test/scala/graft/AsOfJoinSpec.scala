@@ -32,6 +32,18 @@ class AsOfJoinSpec extends AnyFunSuite {
       "e4" -> Some("v300"), "e5" -> Some("w400")))
   }
 
+  test("a NULL-valued dim row is still the latest dim (no skip-back); valCol collision rejected") {
+    val events = Seq((1L, ts(300), "e1")).toDF("k", "ts", "event_id")
+    val dims = Seq((1L, ts(100), Some("v100")), (1L, ts(200), None))
+      .toDF("k", "ts_d", "v")
+    val got = AsOfJoin.lastBefore(events, "k", "ts", dims, "k", "ts_d", "v")
+      .select("v").collect()(0)
+    assert(got.isNullAt(0)) // ASOF returns the ts(200) row's null, not v100
+    intercept[IllegalArgumentException](
+      AsOfJoin.lastBefore(events.withColumn("v", lit("mine")), "k", "ts",
+        dims, "k", "ts_d", "v"))
+  }
+
   test("one exchange per input side (sort-based, no per-event probe)") {
     val events = spark.range(0, 1000).select(
       (col("id") % 7).as("k"), timestamp_micros(col("id") * 1000000L).as("ts"),

@@ -88,6 +88,25 @@ class ForwardSpec extends AnyFunSuite {
     assert(backI.length == 500 && backI.forall(_.nsec == 0L))
   }
 
+  test("null record values pack as msgpack nil and round-trip; ext8 EventTime accepted") {
+    val df = Seq(1).toDF("id").select(
+      lit("t").as("tag"), lit(100L).as("sec"), lit(0).as("nsec"),
+      map(lit("a"), lit("x"), lit("b"), lit(null).cast("string")).as("rec"),
+      lit(1L).as("o"))
+    val framed = Forward.frames(df, "tag", "sec", "nsec", "rec", "o")
+    val frame = framed.select("frame").as[Array[Byte]].collect()(0)
+    assert(hex(frame).contains("a162c0")) // key 'b' followed by nil (0xc0)
+    val back = Forward.parseFrames(framed.toDF(), "frame").collect()(0)
+    assert(back.record("a") == "x" && back.record("b") == null)
+    // ext8 form of EventTime (0xc7 0x08 0x00 + payload) — the reference
+    // accepts both encodings; rewrite the fixext8 and re-parse
+    val fixIdx = hex(frame).indexOf("d700") / 2
+    val ext8 = frame.take(fixIdx) ++ Array(0xc7.toByte, 0x08.toByte, 0x00.toByte) ++
+      frame.slice(fixIdx + 2, frame.length)
+    val (tag, entries) = graft.sinks.MsgpackDecode.unpackFrame(ext8)
+    assert(tag == "t" && entries.head.sec == 100L)
+  }
+
   test("frames(): one frame per tag, entries ordered by the sort key") {
     val df = Seq(
       ("app.a", 10L, 2L, "r2"), ("app.a", 10L, 1L, "r1"), ("db.x", 11L, 3L, "r3"))

@@ -72,6 +72,18 @@ class ParserFilterSpec extends AnyFunSuite {
     assert(out(2L).getTimestamp(3).getTime == java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime)
   }
 
+  test("Reserve_Data with a parsed-but-NULL field does not duplicate the key (optional groups)") {
+    // apache line WITHOUT referer/agent → parsed referer is null but the
+    // key is OWNED by the parse; an original 'referer' must not re-enter
+    val df = Seq(1).toDF("id").withColumn("record", map(
+      lit("log"), lit(clf), lit("referer"), lit("orig")))
+    val out = getMap(ParserFilter.onMap("record", "log", Parsers.apache,
+      reserveData = true)(df))
+    assert(out.contains("referer"))
+    assert(out("referer") == null) // parsed-null wins; no DUPLICATED_MAP_KEY
+    assert(out("host") == "h")
+  }
+
   test("parser filter runs the parser's decoder chain: docker json + Decode_Field_As escaped log") {
     // docker record: json parse, then the shipped decoder unescapes `log`
     val raw = """{"log": "line1\\nline2", "stream": "stdout", "time": "2017-07-17T20:17:03.0Z"}"""

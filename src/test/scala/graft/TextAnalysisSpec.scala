@@ -93,6 +93,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got._2.contains("@ex.co") && !got._2.contains("192.168.0.1"))
   }
 
+  test("portable hash sampling handles NEGATIVE keys (pmod, not C-style %)") {
+    val d = spark.range(-5000, 5000).toDF("id")
+    val n = graft.operators.Sampling.samplePortable(d, "id", 10).count()
+    assert(n > 700 && n < 1300, s"kept $n of 10000 at 10% over signed keys")
+  }
+
   test("hash sampling: deterministic, ~pct kept, complement exactly disjoint") {
     val d = spark.range(0, 10000).toDF("id")
     val kept = graft.operators.Sampling.hashSample(d, "id", 10)
