@@ -648,6 +648,19 @@ object SparkEntry {
           lower(hex(col("frame"))).as("frame_hex"))
     }),
 
+    // -- ES Generate_ID: murmur3_x64_128(seed 42) over the msgpack of the
+    //    dot-sanitized record (es.c:283-287) — idempotent-upsert doc ids.
+    //    Oracle = byte-exact fixture VALUES produced by COMPILING the
+    //    reference's vendored murmur3.c on the same msgpack bytes (whose
+    //    layout fb_forward_frame already proves against DuckDB-built hex)
+    "fb_es_id" -> ((s, dir) => {
+      Fixtures.seqs(s, dir).filter(col("seq") < 16)
+        .select(col("seq"),
+          graft.functions.EsIdFunctions.esId(
+            map(lit("log.level"), (col("seq") % 6).cast("string"),
+              lit("msg"), concat(lit("m "), col("seq").cast("string")))).as("es_id"))
+    }),
+
     // -- ns-fidelity time envelope (struct flb_time): 9-digit %L fractions
     //    kept at ns resolution, µs timestamp derived for windowing
     "fb_time_ns" -> ((s, dir) => {
@@ -1223,6 +1236,30 @@ object SparkEntry {
              lower(hex(encode(CAST(doc_id AS VARCHAR))))             -- value bytes
            ) AS frame_hex
          FROM documents""",
+
+    "fb_es_id" ->
+      """-- byte-exact fixtures from the compiled reference murmur3.c + the
+         -- es.c uuid snprintf, over msgpack({'log_level': d%6, 'msg': 'm d'})
+         SELECT doc_id AS seq, u AS es_id FROM documents
+         JOIN (VALUES
+           (0,  'a431f7df-779f-33e9-96d6-a2e8bd03176a'),
+           (1,  '09f43277-6543-0b01-d451-b11ea46364c8'),
+           (2,  '7b15a47d-0198-d4fb-119c-15cf22506c8a'),
+           (3,  '331e5784-bea2-3a7d-3cc0-0936157cbf3b'),
+           (4,  '8fa064c2-393d-648b-d4c0-b4f991336941'),
+           (5,  'ef9d2676-71ba-4422-dbbf-c89ab11c5a77'),
+           (6,  '6297d9d2-119a-3dc1-21ac-69df71908b38'),
+           (7,  '7e453f51-052f-5dd3-c2e6-3f5e1d1317a9'),
+           (8,  'f2ea590f-9eb2-967e-d004-49b4bd248a3b'),
+           (9,  '503b3f30-c517-79bb-a77d-f90445f27d70'),
+           (10, 'cd29a21c-9684-90c4-0180-a456a9c44ce5'),
+           (11, 'a80edd5f-dc39-e6a1-3333-9d36269a33f6'),
+           (12, 'ac264c6e-2214-ba6e-fa54-3f91fb01b9a4'),
+           (13, 'a24ac499-5e7d-8996-8172-f1f520230767'),
+           (14, '0ee556fc-c159-e567-0307-2aea4e83353a'),
+           (15, 'fc2d769f-cda0-4526-6442-7c290da60466')
+         ) AS t(s, u) ON doc_id = CAST(s AS BIGINT)
+         WHERE doc_id < 16""",
 
     "fb_time_ns" ->
       """SELECT doc_id AS seq,

@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 
 /** The reference's time envelope, `struct flb_time { tv_sec, tv_nsec }`
@@ -23,12 +24,19 @@ object FlbTime {
   def apply(sec: Column, nsec: Column): Column =
     struct(sec.cast("long").as("sec"), nsec.cast("int").as("nsec"))
 
+  /** Integer (long) division — Column `/` is DOUBLE division, exact only
+    * below 2⁵³; the envelope stays in LongType end-to-end.
+    */
+  private def longDiv(a: Column, b: Long): Column =
+    GraftShim.column(IntegralDivide(
+      GraftShim.expression(a.cast("long")), GraftShim.expression(lit(b))))
+
   /** Envelope from a µs count (ns = µs remainder × 1000; flooring division
     * keeps pre-epoch instants correct).
     */
   def fromMicros(us: Column): Column = {
     val m = pmod(us, lit(1000000L))
-    apply((us - m) / 1000000L, m * 1000L)
+    apply(longDiv(us - m, 1000000L), m * 1000L)
   }
 
   /** Envelope from a TimestampType column. */
@@ -36,7 +44,7 @@ object FlbTime {
 
   /** µs count — ns truncated (Spark's native resolution). */
   def toMicros(t: Column): Column =
-    t.getField("sec") * 1000000L + (t.getField("nsec").cast("long") / lit(1000L)).cast("long")
+    t.getField("sec") * 1000000L + longDiv(t.getField("nsec"), 1000L)
 
   /** Derived µs timestamp for windowing. */
   def toTimestamp(t: Column): Column = timestamp_micros(toMicros(t))

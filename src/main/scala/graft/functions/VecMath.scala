@@ -212,6 +212,148 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The `nprobe` nearest centroids of a LITERAL centroid set, by squared L2
+  * (ties → smallest centroid id) — the IVF cell assignment as ONE narrow
+  * per-row expression. The former formulation (`join(broadcast(centroids))`
+  * + `row_number` window) expanded every row ×C and SHUFFLED the expansion
+  * just to keep the argmin; with 4k centroids at 100 TB that exchange is
+  * the scale-killer. Here the centroid set rides into the task as a plan
+  * literal (it is small by contract — same size class as a broadcast dim)
+  * and the argmin costs zero exchanges.
+  *
+  * Per-centroid distance is the same sequential left fold as [[L2Squared]]
+  * — bit-identical to the old plan and the DuckDB oracle. Ties keep the
+  * smallest id: centroids are pre-sorted by id and selection uses strict
+  * `<`. Null elements or a length mismatch vs any centroid → null.
+  *
+  * @return array<long> of the nprobe nearest centroid ids, nearest first
+  */
+case class NearestCells(child: Expression, centIds: Array[Long],
+                        centVecs: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  require(centIds.length == centVecs.length && centIds.nonEmpty, "empty centroid set")
+  require((1 until centIds.length).forall(i => centIds(i - 1) < centIds(i)),
+    "centroid ids must be strictly ascending")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val get = VecMath.getter(child.dataType)
+  private val np = math.min(nprobe, centIds.length)
+
+  def compute(ao: Any): Any = {
+    val a = ao.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      v(i) = get(a, i)
+      i += 1
+    }
+    // top-np by (dist asc, id asc): insertion into a tiny sorted buffer
+    val bd = new Array[Double](np)
+    val bi = new Array[Long](np)
+    var filled = 0
+    var c = 0
+    while (c < centVecs.length) {
+      val cv = centVecs(c)
+      if (cv.length != n) return null
+      var s = 0.0
+      var j = 0
+      while (j < n) { val d = v(j) - cv(j); s += d * d; j += 1 }
+      if (filled < np || s < bd(filled - 1)) { // strict < keeps smallest id on ties
+        var pos = if (filled < np) filled else np - 1
+        while (pos > 0 && s < bd(pos - 1)) {
+          bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+        }
+        bd(pos) = s
+        bi(pos) = centIds(c)
+        if (filled < np) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nc", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.compute($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization in ONE pass (well, two reads of the input:
+  * max-abs scan, then the code loop) — scale = max|vᵢ|/127, code =
+  * ⌊vᵢ/scale + 0.5⌋ (explicit half-up). The column formulation embedded
+  * `array_max` INSIDE the `transform` lambda; lambda bodies get no common-
+  * subexpression elimination, so every element re-scanned the vector —
+  * O(d²) per row. Null elements → null (the inputs this quantizes are
+  * dense embeddings; a null element means a broken vector, not a value).
+  *
+  * @return struct(scale: double, q: array<int> in [-127, 127])
+  */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+
+  @transient private lazy val get = VecMath.getter(child.dataType)
+
+  def compute(ao: Any): Any = {
+    val a = ao.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      v(i) = get(a, i)
+      val ab = math.abs(v(i))
+      if (ab > mx) mx = ab
+      i += 1
+    }
+    val scale = mx / 127.0
+    val q = new Array[Int](n)
+    if (mx > 0) {
+      i = 0
+      while (i < n) { q(i) = math.floor(v(i) / scale + 0.5).toInt; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(q))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qi", this, classOf[QuantizeInt8].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.compute($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecMathFunctions {
   def dot(a: Column, b: Column): Column =
     GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))
@@ -221,4 +363,9 @@ object VecMathFunctions {
     GraftShim.column(L2Squared(GraftShim.expression(a), GraftShim.expression(b)))
   def srpBucket(v: Column, planes: Int): Column =
     GraftShim.column(SrpBucket(GraftShim.expression(v), planes))
+  def nearestCells(v: Column, centIds: Array[Long], centVecs: Array[Array[Double]],
+                   nprobe: Int): Column =
+    GraftShim.column(NearestCells(GraftShim.expression(v), centIds, centVecs, nprobe))
+  def quantizeInt8(v: Column): Column =
+    GraftShim.column(QuantizeInt8(GraftShim.expression(v)))
 }

@@ -86,10 +86,14 @@ object DecoderChain {
     val replaced = when(st.isDecAs,
       transform_values(m, (k2, v2) => when(k2 === key, st.data).otherwise(v2)))
       .otherwise(m)
-    // extra keys appended at the END; on conflict the decoded value wins
+    // extra keys appended at the END; on conflict the decoded value wins.
+    // Membership test is map_contains_key, NOT element_at(..).isNull — a
+    // decoded JSON value of null ({"stream": null}) is PRESENT with a null
+    // value, and missing it here would leave the original key in place and
+    // make map_concat throw on the duplicate (mapKeyDedupPolicy=EXCEPTION)
     val withExtra = when(st.isDec && st.extra.isNotNull,
       map_concat(
-        map_filter(replaced, (k2, _) => element_at(st.extra, k2).isNull),
+        map_filter(replaced, (k2, _) => !map_contains_key(st.extra, k2)),
         st.extra))
       .otherwise(replaced)
     when(v0.isNull, m).otherwise(withExtra)

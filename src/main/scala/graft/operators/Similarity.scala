@@ -47,6 +47,15 @@ object Similarity {
 
   /** Exact brute-force top-k neighbors for each query vector.
     *
+    * Contract (inherited from [[TopK.perGroupWithOrd]], same for
+    * [[lshTopK]]/[[ivfTopK]]): candidate ids must be INTEGRAL — they are
+    * cast to long and returned as LongType (a non-numeric id casts to null
+    * and is rejected up front). Candidates whose cosine is null (zero-norm
+    * vectors, length mismatches) are EXCLUDED — a window formulation would
+    * rank them last; a k-bounded buffer has no slot for "unordered". On
+    * non-null scores the result is row-identical to the window form
+    * (shared oracle q_window_topk/ann_topk).
+    *
     * @param queries  small DataFrame (qid, qvec) — broadcast side
     * @param cands    large DataFrame (cid, cvec) — scanned once
     */
@@ -116,36 +125,59 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Collect a small centroid table to a driver-side literal, sorted by id
+    * — the centroid set is the same size class as a broadcast dim, but a
+    * LITERAL rides into the task without even a broadcast exchange, and the
+    * per-row argmin needs no join at all. Ids must be integral (cast to
+    * long; [[ivfAssign]] casts the output cell back to the source id type).
+    */
+  private def collectCentroids(centroids: DataFrame, centId: String,
+                               centVec: String): (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids
+      .select(col(centId).cast("long").as("_id"), col(centVec).as("_v"))
+      .collect()
+      .sortBy(_.getLong(0))
+    (rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Number](1).map(_.doubleValue).toArray))
+  }
+
+  /** The nprobe nearest cells of a vector column as ONE narrow per-row
+    * expression (array<long>, nearest first; ties → smallest centroid id)
+    * — zero exchanges between scan and cell output. Distance arithmetic is
+    * the [[l2sq]] sequential fold, bit-identical to the former broadcast-
+    * join + window formulation (same oracle stays green).
+    */
+  def ivfCells(vec: Column, centroids: DataFrame, nprobe: Int,
+               centId: String = "cent_id", centVec: String = "cvec"): Column = {
+    val (ids, vecs) = collectCentroids(centroids, centId, centVec)
+    graft.functions.VecMathFunctions.nearestCells(vec, ids, vecs, nprobe)
+  }
+
   /** IVF cell assignment: nearest centroid by L2 (ties → smallest centroid
-    * id). Centroids are a SMALL broadcast table `(cent_id, cvec)` — at
-    * scale they come from a sampled k-means; any deterministic set works
-    * for the index structure itself.
+    * id). Centroids are a SMALL table `(cent_id, cvec)` — at scale they
+    * come from a sampled k-means; any deterministic set works for the
+    * index structure itself. The assignment is a narrow projection (no
+    * join, no shuffle — plan-asserted in SimilaritySpec).
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, centId: String = "cent_id",
                 centVec: String = "cvec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_dist"), col(centId))
-    df.join(broadcast(centroids))
-      .withColumn("_dist", l2sq(col(vecCol), col(centVec)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(df.columns.map(col) :+ col(centId).as("cell"): _*)
+    val idType = centroids.schema(centId).dataType
+    df.withColumn("cell",
+      element_at(ivfCells(col(vecCol), centroids, 1, centId, centVec), 1).cast(idType))
   }
 
   /** Assign each row to its `nprobe` nearest cells (ties → smallest
-    * centroid id) — one output row per (row, probed cell).
+    * centroid id) — one output row per (row, probed cell), nearest first.
+    * Narrow: explode of a per-row array, still no join or shuffle.
     */
   def ivfAssignN(df: DataFrame, idCol: String, vecCol: String,
                  centroids: DataFrame, nprobe: Int,
                  centId: String = "cent_id", centVec: String = "cvec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_dist"), col(centId))
-    df.join(broadcast(centroids))
-      .withColumn("_dist", l2sq(col(vecCol), col(centVec)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= nprobe)
-      .select(df.columns.map(col) :+ col(centId).as("cell"): _*)
+    val idType = centroids.schema(centId).dataType
+    df.withColumn("_cell_l", explode(ivfCells(col(vecCol), centroids, nprobe, centId, centVec)))
+      .withColumn("cell", col("_cell_l").cast(idType))
+      .drop("_cell_l")
   }
 
   /** IVF top-k: candidates live in their ONE nearest cell; each query
@@ -206,9 +238,20 @@ object Similarity {
     * engine, unlike round() whose half-rule differs across systems).
     * Zero vectors quantize to all-zero codes with scale 0.
     *
+    * Fused one-pass expression — the column formulation
+    * ([[quantizeInt8Columns]]) embeds `array_max` inside the `transform`
+    * lambda; lambda bodies get no CSE, so each of the d elements re-scanned
+    * the d-element max → O(d²) per row (measured 4× slower at d=128).
+    *
     * @return struct(scale: double, q: array<int> in [-127, 127])
     */
-  def quantizeInt8(vec: Column): Column = {
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.VecMathFunctions.quantizeInt8(vec)
+
+  /** Reference column formulation of [[quantizeInt8]] (spec cross-check;
+    * O(d²) per row — see [[quantizeInt8]]).
+    */
+  private[graft] def quantizeInt8Columns(vec: Column): Column = {
     val mx = array_max(transform(vec, x => abs(x.cast("double"))))
     val scale = mx / 127.0
     val q = when(mx > 0,

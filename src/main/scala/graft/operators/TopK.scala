@@ -1,11 +1,10 @@
 package graft.operators
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Scale-safe per-group top-k: a bounded O(k) aggregation buffer with
   * map-side combine, instead of the `row_number().over(partitionBy(g))`
@@ -16,35 +15,57 @@ import org.apache.spark.sql.functions._
   * Ordering: descending by `ord`, ties broken ascending by `id` — the
   * deterministic contract of the window formulation it replaces
   * (equality asserted in TopKSpec and by sharing q_window_topk's oracle).
+  *
+  * Buffer layout: two parallel primitive arrays `(ords, ids)` kept sorted —
+  * an [[ExpressionEncoder]]-able product, so partial-merge exchanges ship
+  * compact unsafe rows (the previous `ArrayBuffer` buffer fell back to Java
+  * serialization on every exchange).
   */
 object TopK {
 
   final case class Entry(ord: Double, id: Long)
 
   private class TopKAgg(k: Int)
-      extends Aggregator[(Double, Long), ArrayBuffer[(Double, Long)], Seq[(Double, Long)]] {
+      extends Aggregator[(Double, Long), (Array[Double], Array[Long]), Seq[(Double, Long)]] {
 
-    /** true iff a ranks strictly before b (desc ord, asc id). */
-    private def before(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    /** true iff (ao, ai) ranks strictly before (bo, bi) (desc ord, asc id). */
+    private def before(ao: Double, ai: Long, bo: Double, bi: Long): Boolean =
+      ao > bo || (ao == bo && ai < bi)
 
-    private def insert(b: ArrayBuffer[(Double, Long)], x: (Double, Long)): ArrayBuffer[(Double, Long)] = {
-      if (b.size == k && !before(x, b.last)) return b // cheap reject
+    private def insert(b: (Array[Double], Array[Long]), o: Double, id: Long): (Array[Double], Array[Long]) = {
+      val (os, is) = b
+      val n = os.length
+      if (n == k && !before(o, id, os(n - 1), is(n - 1))) return b // cheap reject
       var pos = 0
-      while (pos < b.size && before(b(pos), x)) pos += 1
-      b.insert(pos, x)
-      if (b.size > k) b.remove(k)
-      b
+      while (pos < n && before(os(pos), is(pos), o, id)) pos += 1
+      val m = math.min(n + 1, k)
+      val no = new Array[Double](m)
+      val ni = new Array[Long](m)
+      System.arraycopy(os, 0, no, 0, pos)
+      System.arraycopy(is, 0, ni, 0, pos)
+      no(pos) = o
+      ni(pos) = id
+      val rest = m - pos - 1
+      if (rest > 0) {
+        System.arraycopy(os, pos, no, pos + 1, rest)
+        System.arraycopy(is, pos, ni, pos + 1, rest)
+      }
+      (no, ni)
     }
 
-    def zero: ArrayBuffer[(Double, Long)] = ArrayBuffer.empty
-    def reduce(b: ArrayBuffer[(Double, Long)], in: (Double, Long)): ArrayBuffer[(Double, Long)] =
-      insert(b, in)
-    def merge(a: ArrayBuffer[(Double, Long)], b: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
-      b.foldLeft(a)(insert)
-    def finish(b: ArrayBuffer[(Double, Long)]): Seq[(Double, Long)] = b.toSeq
-    def bufferEncoder: Encoder[ArrayBuffer[(Double, Long)]] =
-      Encoders.javaSerialization[ArrayBuffer[(Double, Long)]]
+    def zero: (Array[Double], Array[Long]) = (Array.emptyDoubleArray, Array.emptyLongArray)
+    def reduce(b: (Array[Double], Array[Long]), in: (Double, Long)): (Array[Double], Array[Long]) =
+      insert(b, in._1, in._2)
+    def merge(a: (Array[Double], Array[Long]), b: (Array[Double], Array[Long])): (Array[Double], Array[Long]) = {
+      var acc = a
+      var i = 0
+      while (i < b._1.length) { acc = insert(acc, b._1(i), b._2(i)); i += 1 }
+      acc
+    }
+    def finish(b: (Array[Double], Array[Long])): Seq[(Double, Long)] =
+      b._1.indices.map(i => (b._1(i), b._2(i)))
+    def bufferEncoder: Encoder[(Array[Double], Array[Long])] =
+      Encoders.product[(Array[Double], Array[Long])]
     def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
@@ -67,14 +88,21 @@ object TopK {
   /** Like [[perGroup]] but keeps the ordering value (e.g. the cosine
     * score) in the output. Rows with a NULL ordering value are excluded
     * (a window formulation would rank them last; a k-bounded buffer has
-    * no meaningful slot for "unordered").
+    * no meaningful slot for "unordered"). The id column must already be
+    * an integral type — a string id would cast to null row-by-row and
+    * silently drop candidates, so it is rejected here instead.
     */
   def perGroupWithOrd(df: DataFrame, groupCol: String, ordCol: String,
-                      idCol: String, k: Int): DataFrame =
+                      idCol: String, k: Int): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"TopK id column '$idCol' must be integral (byte/short/int/long), got $idType — " +
+        "use the row_number window formulation for non-numeric ids")
     df.filter(col(ordCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(agg(col(ordCol), col(idCol), k).as("_tk"))
       .select(col(groupCol), posexplode(col("_tk")).as(Seq("_pos", "_e")))
       .select(col(groupCol), col("_e._1").as(ordCol), col("_e._2").as(idCol),
         (col("_pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -82,6 +82,18 @@ class DecoderChainSpec extends AnyFunSuite {
     assert(out("stream") == "decoded")
   }
 
+  test("extra-key conflict with a JSON-NULL value still drops the original key (membership, not value-null)") {
+    // {"stream": null}: the decoded extra map CONTAINS 'stream' with a null
+    // VALUE — an element_at(..).isNull membership test would keep the
+    // original key too and map_concat would throw on the duplicate
+    val in = rec("log" -> """{\"k\": \"5\", \"stream\": null}""", "stream" -> "stdout")
+    val out = run(in, dockerChain)
+    assert(out("log") == """{"k": "5", "stream": null}""")
+    assert(out("k") == "5")
+    assert(out.contains("stream") && out("stream") == null) // decoded null wins
+    assert(keysInOrder(in, dockerChain) == Seq("log", "k", "stream"))
+  }
+
   test("missing key leaves the record untouched") {
     val out = run(rec("other" -> "v"), dockerChain)
     assert(out == Map("other" -> "v"))

@@ -64,6 +64,15 @@ class FlbTimeSpec extends AnyFunSuite {
     assert(n == 0)
   }
 
+  test("fromMicros/toMicros stay exact past 2^53 µs (integer division, no double rounding)") {
+    // 8.9e17 µs ≈ year 30k — double division would round the second count
+    val big = 888888888888888888L
+    val t = Seq(big).toDF("us").select(FlbTime.fromMicros(col("us")).as("t"))
+    assert(t.select(col("t.sec"), col("t.nsec")).as[(Long, Int)].collect()(0)
+      == ((888888888888L, 888888000)))
+    assert(t.select(FlbTime.toMicros(col("t"))).as[Long].collect()(0) == big)
+  }
+
   test("pipeline carries event_time struct + derived event_ts from ONE parse") {
     import graft.route.SinkSpec
     import graft.run.{Pipeline, PipelineSpec}

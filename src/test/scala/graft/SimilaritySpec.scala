@@ -156,6 +156,68 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n1.nonEmpty && n1.size <= exact.size)
   }
 
+  test("ivfAssign is a NARROW projection: zero Exchange, no join, no window (plan-asserted)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val out = Similarity.ivfAssign(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", cents)
+    out.collect() // finalize the AQE plan before inspecting it
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // nprobe variant: still exchange-free (explode is narrow)
+    val outN = Similarity.ivfAssignN(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", cents, 3)
+    outN.collect()
+    val planN = outN.queryExecution.executedPlan.toString
+    assert(!planN.contains("Exchange"), planN)
+  }
+
+  test("fused ivfAssignN matches the broadcast-join + window formulation row-for-row") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val fused = Similarity.ivfAssignN(e, "vec_id", "embedding", cents, 3)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toSet
+    // the former formulation, inlined as the independent oracle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("_dist"), col("cent_id"))
+    val window = e.join(broadcast(cents))
+      .withColumn("_dist", Similarity.l2sq(col("embedding"), col("cvec")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+      .as[(Long, Long)].collect().toSet
+    assert(fused == window)
+    // nearest-first: the first exploded cell equals the nprobe=1 assignment
+    val first = Similarity.ivfCells(col("embedding"), cents, 3)
+    val agree = e.select(element_at(first, 1).as("c1"),
+        element_at(Similarity.ivfCells(col("embedding"), cents, 1), 1).as("c0"))
+      .filter(!(col("c1") <=> col("c0")))
+    assert(agree.count() == 0)
+  }
+
+  test("fused quantizeInt8 is bit-identical to the column formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cmp = e.select(Similarity.quantizeInt8(col("embedding")).as("f"),
+        Similarity.quantizeInt8Columns(col("embedding")).as("c"))
+      .filter(!(col("f.scale") <=> col("c.scale")) || !(col("f.q") <=> col("c.q")))
+    assert(cmp.count() == 0)
+  }
+
+  test("top-k paths EXCLUDE null-scored candidates (zero-norm vectors) — pinned contract") {
+    val cands = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 0f))).toDF("cid", "cvec")
+    val qs = Seq((0L, Seq(1f, 0f))).toDF("qid", "qvec")
+    val got = Similarity.bruteForceTopK(qs, "qid", "qvec", cands, "cid", "cvec", 5)
+      .select("cid").as[Long].collect().toSeq
+    // the zero-norm candidate has null cosine → excluded; the result set
+    // shrinks below k (a window formulation would rank it last instead)
+    assert(got == Seq(1L))
+  }
+
   test("lshTopK joins on buckets with broadcast of the query side") {
     val vecs = (0 until 50).map(i => (i.toLong, Seq.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))
     val cands = vecs.toDF("cid", "cvec")

@@ -29,6 +29,14 @@ class TopKSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("perGroupWithOrd rejects non-integral id columns with a clear error") {
+    val df = Seq(("g", 1.0, "a")).toDF("g", "v", "id")
+    val ex = intercept[IllegalArgumentException] {
+      TopK.perGroupWithOrd(df, "g", "v", "id", 2)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("one giant group: buffer stays k-bounded (no group-wide sort state)") {
     val df = spark.range(0, 100000).select(lit(1L).as("g"),
       (col("id") * 7919 % 100000).cast("double").as("v"), col("id").as("k"))
