@@ -47,6 +47,33 @@ object Bench {
     s
   }
 
+  /** Write a `factor`× blow-up of the sf tables: per-table id columns are
+    * shifted by copy × 10⁷ so dedup/join keys stay distinct across copies
+    * (tables without a listed id are copied through once — small dims).
+    * Used by the scaled per-query phase; the output is cached in target/.
+    */
+  private val scaledIdShift = Map(
+    "documents.parquet" -> "doc_id",
+    "embeddings.parquet" -> "vec_id",
+    "events.parquet" -> "event_id",
+    "orders.parquet" -> "o_orderkey")
+
+  private def buildScaled(spark: SparkSession, sfDir: String, outDir: String,
+                          factor: Int): Unit = {
+    val tables = new java.io.File(sfDir).list().filter(_.endsWith(".parquet"))
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"$sfDir/$t")
+      val out = scaledIdShift.get(t) match {
+        case Some(id) =>
+          (0 until factor).map(k =>
+            df.withColumn(id, col(id) + lit(k * 10000000L))).reduce(_ unionByName _)
+        case None => df
+      }
+      out.write.mode("overwrite").parquet(s"$outDir/$t")
+    }
+    System.err.println(s"[bench] built ${factor}x scaled tables at $outDir")
+  }
+
   private val benchSpec = PipelineSpec(
     grep = Seq(Grep.Regex("code", "^5")),
     sinks = TokenTable.Sinks.map((SinkSpec.apply _).tupled))
@@ -103,14 +130,38 @@ object Bench {
           name -> -1.0
       }
     }
-    spark.stop()
-
-    // dev knob: per-query timings only (skip the scaling blocks)
+    // dev knob: per-query timings only (skip scaled phase + scaling blocks)
     if (sys.env.get("GRAFT_BENCH_QUERIES_ONLY").contains("1")) {
+      spark.stop()
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       println(s"""{"metric":"queries_only","total_query_sec":${results.map(_._2).filter(_ > 0).sum},"queries":$qs0}""")
       if (errors.nonEmpty) sys.exit(1) else return
     }
+
+    // ---- phase 1b: per-query timings at a FACTOR× scaled input — catches
+    //      plans whose cost class changes with data size (a super-linear
+    //      outlier shows as time >> factor × its sf-table time). Ids are
+    //      shifted per copy so dedup/join keys stay distinct; single timed
+    //      run per query (cold codegen included — cost class, not µ-bench).
+    val scaledFactor = sys.env.getOrElse("GRAFT_BENCH_SCALED_FACTOR", "10").toInt
+    val scaledDir = s"target/bench_scaled_${new java.io.File(sfDir).getName}_x$scaledFactor"
+    if (scaledFactor > 1 && !Files.exists(Paths.get(scaledDir)))
+      buildScaled(spark, sfDir, scaledDir, scaledFactor)
+    val scaledResults = if (scaledFactor <= 1) Seq.empty else
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, scaledDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(s"${name}@x$scaledFactor") =
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(200)}"
+            System.err.println(s"[bench] SCALED QUERY FAILED $name: ${errors(s"${name}@x$scaledFactor")}")
+            name -> -1.0
+        }
+      }
+    spark.stop()
 
     // ---- phase 2: throughput + scaling, N vs 4N cores, identical input,
     //      fresh session per parallelism level (no cross-talk from phase 1)
@@ -161,36 +212,40 @@ object Bench {
         pipelineThroughput(s, inputPath, benchRows)
       } finally s.stop()
     }
-    val nBlocks = sys.env.getOrElse("GRAFT_BENCH_BLOCKS", "4").toInt
-    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
-    (1 to nBlocks).foreach(_ => blocks += ((measureBlock(4), measureBlock(16), measureBlock(32))))
+    // FIXED block count — no adaptive stopping (an extension loop keyed on
+    // the measured efficiency is an optional-stopping rule that biases the
+    // max-estimator upward; round-2 advice). Every block also takes a
+    // raw-CPU probe first: blocks whose probe sits >20% below the run's
+    // best probe were measured inside a host-throttle window and are
+    // EXCLUDED from the trimmed estimates (all blocks stay in the JSON).
+    val nBlocks = sys.env.getOrElse("GRAFT_BENCH_BLOCKS", "6").toInt
+    final case class Block(probe: Double, t4: Double, t16: Double, t32: Double)
+    val blocks = (1 to nBlocks).map { i =>
+      val b = Block(rawCpu(16, 1500), measureBlock(4), measureBlock(16), measureBlock(32))
+      System.err.println(f"[bench] block $i/$nBlocks probe=${b.probe}%.3g thr4=${b.t4}%.0f thr16=${b.t16}%.0f thr32=${b.t32}%.0f")
+      b
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    def bestEff = blocks.map(_._2).max / (4.0 * blocks.map(_._1).max)
-    // adaptive extension: best-per-level is a max-estimator of true
-    // capability on a host with throttling windows — when the measured
-    // efficiency sits below the margin, sample MORE weather (up to 4
-    // extra blocks) rather than publish a window artifact. Every block's
-    // raw values are reported in the JSON, nothing is discarded.
-    var extra = 0
-    val extensionDeadline = System.nanoTime() +
-      sys.env.getOrElse("GRAFT_BENCH_EXTENSION_BUDGET_SEC", "420").toLong * 1000000000L
-    while (bestEff < 0.82 && extra < 4 && System.nanoTime() < extensionDeadline) {
-      System.err.println(f"[bench] efficiency ${bestEff}%.3f below margin — sampling another block")
-      blocks += ((measureBlock(4), measureBlock(16), measureBlock(32)))
-      extra += 1
-    }
-    val thr4 = blocks.map(_._1).max
-    val thr16 = blocks.map(_._2).max
-    val thr32 = blocks.map(_._3).max
-    val med4 = median(blocks.map(_._1).toSeq)
-    val med16 = median(blocks.map(_._2).toSeq)
-    val med32 = median(blocks.map(_._3).toSeq)
+    val maxProbe = blocks.map(_.probe).max
+    val good = blocks.filter(_.probe >= 0.8 * maxProbe)
+    val flagged = blocks.size - good.size
+    val thr4 = blocks.map(_.t4).max
+    val thr16 = blocks.map(_.t16).max
+    val thr32 = blocks.map(_.t32).max
+    val med4 = median(blocks.map(_.t4))
+    val med16 = median(blocks.map(_.t16))
+    val med32 = median(blocks.map(_.t32))
+    val tmed4 = median(good.map(_.t4))
+    val tmed16 = median(good.map(_.t16))
     val efficiency = thr16 / (4.0 * thr4)
     val efficiencyMed = med16 / (4.0 * med4)
-    val blocksJson = blocks.map { case (a, b, c) => s"[$a,$b,$c]" }.mkString("[", ",", "]")
+    // the headline estimator: median over throttle-clean blocks
+    val efficiencyTrimmed = tmed16 / (4.0 * tmed4)
+    val blocksJson = blocks.map(b => s"[${b.probe},${b.t4},${b.t16},${b.t32}]")
+      .mkString("[", ",", "]")
     // best-vs-median spread: how much host throttling moved the numbers
     val spread = Seq(thr4 -> med4, thr16 -> med16, thr32 -> med32)
       .map { case (b, m) => (b - m) / b }.max
@@ -217,20 +272,30 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalSec = results.map(_._2).filter(_ > 0).sum
+    val qsScaled = scaledResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val totalScaledSec = scaledResults.map(_._2).filter(_ > 0).sum
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"parsed_routed_sequences_per_sec","value":$thr32,"unit":"rows/sec",""" +
-        s""""bench_rows":$benchRows,"throughput_local4":$thr4,"throughput_local16":$thr16,""" +
-        s""""throughput_local32":$thr32,"scaling_efficiency":$efficiency,""" +
+        s""""bench_rows":$benchRows,""" +
+        s""""scaling_efficiency_trimmed_median":$efficiencyTrimmed,""" +
+        s""""scaling_efficiency_median":$efficiencyMed,"scaling_efficiency_best":$efficiency,""" +
+        s""""scaling_efficiency":$efficiencyTrimmed,""" +
+        s""""throttle_flagged_blocks":$flagged,"n_blocks":${blocks.size},""" +
+        s""""throughput_local4":$thr4,"throughput_local16":$thr16,""" +
+        s""""throughput_local32":$thr32,""" +
         s""""throughput_local4_median":$med4,"throughput_local16_median":$med16,""" +
-        s""""throughput_local32_median":$med32,"scaling_efficiency_median":$efficiencyMed,""" +
+        s""""throughput_local32_median":$med32,""" +
         s""""best_vs_median_spread":$spread,"blocks":$blocksJson,""" +
         s""""raw_cpu_scaling_ceiling_4_to_16":$rawCeiling,""" +
-        s""""scaling_efficiency_vs_hw_ceiling":${efficiency / rawCeiling},""" +
+        s""""scaling_efficiency_vs_hw_ceiling":${efficiencyTrimmed / rawCeiling},""" +
         s""""dedup_signature_rows_per_sec":$thrDedup,"total_query_sec":$totalSec,""" +
-        s""""queries":$qs,"query_errors":$errJson,"sf":"$sfDir"}"""
+        s""""queries":$qs,""" +
+        s""""scaled_factor":$scaledFactor,"scaled_total_sec":$totalScaledSec,""" +
+        s""""queries_scaled":$qsScaled,""" +
+        s""""query_errors":$errJson,"sf":"$sfDir"}"""
     println(json)
 
     val md =
@@ -248,16 +313,19 @@ object Bench {
          |
          || metric | value |
          ||---|---|
+         || **scaling efficiency thr16/(4·thr4), trimmed median** (headline: median over the ${good.size}/$nBlocks throttle-clean blocks) | **${"%.3f".format(efficiencyTrimmed)}** (target ≥ 0.8) |
+         || scaling efficiency, median of ALL blocks | ${"%.3f".format(efficiencyMed)} |
+         || scaling efficiency, best-of-blocks (secondary — max-estimator) | ${"%.3f".format(efficiency)} |
+         || blocks flagged as host-throttled (raw probe >20% below run best) | $flagged of $nBlocks |
          || parsed+routed sequences/sec (local[32], warm, best) | ${"%,.0f".format(thr32)} |
          || throughput local[4] (best / median of $nBlocks blocks) | ${"%,.0f".format(thr4)} / ${"%,.0f".format(med4)} rows/s |
          || throughput local[16] (best / median) | ${"%,.0f".format(thr16)} / ${"%,.0f".format(med16)} rows/s |
-         || scaling efficiency thr16/(4·thr4), best | ${"%.3f".format(efficiency)} (target ≥ 0.8) |
-         || scaling efficiency, median-of-blocks | ${"%.3f".format(efficiencyMed)} |
          || best−median spread (host-throttle noise) | ${"%.1f".format(spread * 100)}% |
          || raw-CPU busy-loop ceiling 4→16 (same run) | ${"%.3f".format(rawCeiling)} |
-         || job efficiency normalized to hw ceiling | ${"%.3f".format(efficiency / rawCeiling)} |
+         || trimmed-median efficiency normalized to hw ceiling | ${"%.3f".format(efficiencyTrimmed / rawCeiling)} |
          || dedup signatures/sec (MinHash-8 + SimHash-16, local[32]) | ${"%,.0f".format(thrDedup)} |
          || per-query total (sf tables, steady-state) | ${"%.2f".format(totalSec)} s over ${results.size} queries |
+         || per-query total at ${scaledFactor}× scaled tables (cold, single run) | ${"%.2f".format(totalScaledSec)} s over ${scaledResults.size} queries |
          |""".stripMargin
     // run history survives rewrites: carry prior rows forward, append this
     // run — host throttling makes single runs noisy, the distribution is
@@ -270,10 +338,10 @@ object Bench {
     val now = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"))
     val newRow = s"| $now (latest) | ${"%,.0f".format(thr32)} rows/s | " +
-      s"${"%.3f".format(efficiency)} | ${"%.3f".format(efficiencyMed)} | ${"%.1f".format(spread * 100)}% |"
+      s"${"%.3f".format(efficiency)} | ${"%.3f".format(efficiencyTrimmed)} | ${"%.1f".format(spread * 100)}% |"
     val history =
       "\n## Run history (same protocol; host-throttle weather varies)\n\n" +
-        "| run | local[32] best | scaling best | scaling median | spread |\n" +
+        "| run | local[32] best | scaling best | scaling median (trimmed from r3 on) | spread |\n" +
         "|---|---|---|---|---|\n" +
         (oldRows :+ newRow).mkString("\n") + "\n"
     try Files.writeString(Paths.get("BENCH.md"), md + history) catch { case _: Throwable => () }

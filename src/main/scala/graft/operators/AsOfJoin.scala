@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   * DuckDB/QuestDB ASOF semantics). Events before any dim get nulls
   * (ASOF LEFT JOIN semantics).
   *
-  * Skew: a hot key serializes onto one sort partition like any
-  * key-windowed operator — pre-split hot keys by time range if a single
-  * key's history exceeds a task (same dial as Throttle.scalable).
+  * Skew: in [[lastBefore]] a hot key serializes onto one sort partition
+  * like any key-windowed operator — [[lastBeforeScalable]] is the
+  * time-range pre-split variant for keys whose history exceeds a task.
   */
 object AsOfJoin {
 
@@ -54,4 +54,57 @@ object AsOfJoin {
                  dims: DataFrame, dKey: String, dTs: String,
                  valCol: String): DataFrame =
     lastBefore(events, eKey, eTs, dims, dKey, dTs, Seq(valCol))
+
+  /** Hot-key-safe two-phase variant of [[lastBefore]] (the same dial
+    * `Throttle.scalable` applies to panes): a single key's entire history
+    * no longer serializes onto one sort partition.
+    *
+    * Phase 1 buckets both sides by (key, `bucket(ts)`) — any MONOTONE
+    * non-decreasing function of the timestamp (e.g. `date_trunc("hour", _)`
+    * or an integer div) — and runs the running-last window INSIDE each
+    * bucket, so a hot key splits across its time range. Phase 2 computes
+    * each bucket's closing dim value (one aggregated row per non-empty
+    * (key, bucket)) and carries it forward with a window over that TINY
+    * per-bucket table; events whose bucket holds no earlier dim coalesce
+    * to the carried-in value. Monotonicity makes the split exact: a dim in
+    * an earlier bucket is always ≤ any event ts in a later bucket.
+    *
+    * Semantics match [[lastBefore]] row-for-row (equivalence-specced and
+    * sharing q_asof_join's DuckDB ASOF oracle) except when several dims
+    * share one (key, ts): the carry picks the largest payload
+    * deterministically where the window form is sort-order-dependent.
+    */
+  def lastBeforeScalable(events: DataFrame, eKey: String, eTs: String,
+                         dims: DataFrame, dKey: String, dTs: String,
+                         valCols: Seq[String], bucket: Column => Column): DataFrame = {
+    require(!valCols.exists(events.columns.contains),
+      s"events already carry ${valCols.filter(events.columns.contains).mkString(",")} — " +
+        "a same-named event column would poison the carry-forward; alias the dim values")
+    val d = dims.select(
+      col(dKey).as(eKey) +: col(dTs).as(eTs) +:
+        Seq(struct(valCols.map(col): _*).as("_dimval")): _*)
+      .withColumn("_is_dim", lit(1))
+    val e = events.withColumn("_is_dim", lit(0))
+    val all = e.unionByName(d, allowMissingColumns = true)
+      .withColumn("_b", bucket(col(eTs)))
+    // in-bucket running last — partitions by (key, bucket), not key alone
+    val wIn = Window.partitionBy(col(eKey), col("_b"))
+      .orderBy(col(eTs), col("_is_dim").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // closing dim per (key, bucket), carried into every LATER bucket; the
+    // carry window sees one row per non-empty bucket — no hot partition
+    val wCarry = Window.partitionBy(col(eKey)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = all.groupBy(col(eKey), col("_b"))
+      .agg(max(when(col("_is_dim") === 1,
+        struct(col(eTs).as("_t"), col("_dimval").as("_v")))).as("_last"))
+      .withColumn("_cin", last(col("_last"), ignoreNulls = true).over(wCarry).getField("_v"))
+      .select(col(eKey), col("_b"), col("_cin"))
+    val filled = all.join(carry, Seq(eKey, "_b"), "left")
+      .withColumn("_dv",
+        coalesce(last(col("_dimval"), ignoreNulls = true).over(wIn), col("_cin")))
+    valCols.foldLeft(filled)((df, v) => df.withColumn(v, col(s"_dv.$v")))
+      .filter(col("_is_dim") === 0)
+      .drop("_is_dim", "_dimval", "_dv", "_b", "_cin")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
 
 /** The scripted-filter surface — the Spark-native analog of the lua filter
   * (reference `plugins/filter_lua/lua.c:330-393`): a user function over
@@ -29,4 +30,63 @@ object Scripted {
         case Replace(v) => Iterator.single(v)
       }
     }
+
+  // ---- the reference callback face (conf surface) -------------------------
+
+  /** The exact reference protocol `cb(tag, ts, record) → (code, ts, record)`
+    * (`plugins/filter_lua/lua.c:333-393`): `ts` is double SECONDS
+    * (`flb_time_to_double`); codes: −1 drop, 0 keep the original record,
+    * 1 replace record AND timestamp, any other code keeps the original
+    * (the reference logs and repacks, `lua.c:383-388`).
+    */
+  type LuaCallback = (String, Double, Map[String, String]) => (Int, Double, Map[String, String])
+
+  /** Named-function registry backing `[FILTER] lua` conf sections. The host
+    * scripting language is Scala (no Lua VM offline — declared deviation,
+    * SURVEY §2.7): a conf's `script`/`call` pair resolves to a function
+    * registered here under "script:call" (or bare "call").
+    */
+  object LuaRegistry {
+    private val fns = scala.collection.concurrent.TrieMap.empty[String, LuaCallback]
+    def register(name: String, fn: LuaCallback): Unit = fns(name) = fn
+    def resolve(script: String, call: String): LuaCallback =
+      fns.getOrElse(s"$script:$call", fns.getOrElse(call,
+        throw new IllegalArgumentException(
+          s"no registered scripted function for script=$script call=$call — " +
+            "register a Scala function via Scripted.LuaRegistry.register " +
+            "(this engine runs scripted filters as named Scala functions, not a Lua VM)")))
+  }
+
+  /** Row carrier crossing the typed boundary (record values as strings —
+    * the same coercion a Lua table of printed values round-trips through).
+    */
+  final case class LuaRow(tag: String, tsd: Double, rec: Map[String, String])
+
+  /** Apply a [[LuaCallback]] over a fixed-schema conf-pipeline frame:
+    * columns → record map (stringified), callback per row, surviving
+    * records rebuilt onto the ORIGINAL schema (values cast back to each
+    * column's type; a replaced `ts` comes from the returned double
+    * seconds, `flb_time_from_double`).
+    */
+  def applyLua(df: DataFrame, fn: LuaCallback): DataFrame = {
+    import df.sparkSession.implicits._
+    val schema = df.schema
+    val hasTs = df.columns.contains("ts")
+    val others = df.columns.filterNot(c => c == "tag" || c == "ts").toSeq
+    val tsd = if (hasTs) coalesce(col("ts").cast("timestamp").cast("double"), lit(0.0))
+              else lit(0.0)
+    val carrier = df.select(col("tag"), tsd.as("tsd"),
+      map(others.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("rec")).as[LuaRow]
+    val out = carrier.flatMap { r =>
+      fn(r.tag, r.tsd, r.rec) match {
+        case (-1, _, _)    => Iterator.empty                       // skip record
+        case (1, t2, rec2) => Iterator.single(LuaRow(r.tag, t2, rec2)) // replaced
+        case _             => Iterator.single(r)                   // 0 / unexpected: keep
+      }
+    }
+    val rebuilt = others.map(c => element_at(col("rec"), c).cast(schema(c).dataType).as(c))
+    val tsCol = if (hasTs)
+      Seq(col("tsd").cast("timestamp").cast(schema("ts").dataType).as("ts")) else Nil
+    out.select(col("tag") +: (tsCol ++ rebuilt): _*)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.conf.ConfParser
 import graft.core.Glob
-import graft.operators.{Grep, Nest, ParserFilter, RecordModifier, Throttle}
+import graft.operators.{Grep, Nest, ParserFilter, RecordModifier, Scripted, Throttle}
 import graft.parsers.{ParserConfLoader, ParserDef}
 import graft.route.{Router, SinkSpec}
 import graft.sources.TailSource
@@ -23,7 +23,9 @@ import graft.sources.TailSource
   *     Reserve_Data, Preserve_Key), `throttle` (Rate, Interval), `nest`
   *     (Operation/Wildcard/Nest_under/Nested_under/Prefix_with), `modify`
   *     (sequential rules; schema-decidable conditions — see
-  *     [[applyModifyConf]])
+  *     [[applyModifyConf]]), `lua` (script/call resolved to REGISTERED
+  *     Scala functions implementing the cb(tag, ts, record) protocol —
+  *     [[graft.operators.Scripted.LuaRegistry]]; no Lua VM offline)
   *   - OUTPUT: `file` (Format json/csv/ltsv, Path), `counter`,
   *     `flowcounter` (Unit), `forward` (wire-format frames to parquet,
   *     Time_as_Integer), `null`, `stdout`
@@ -60,8 +62,15 @@ object ConfPipeline {
           val tag = s.get("Tag").getOrElse("*")
           val df = TailSource.lines(spark, path, tag)
           s.get("Parser").flatMap(parsers.get) match {
-            case Some(p) => ParserFilter.flatten("line", p)(df)
-            case None    => df
+            case Some(p) =>
+              val parsed = ParserFilter.flatten("line", p)(df)
+              // tail+parser stamps the record time from Time_Key (the
+              // reference's in_tail parse path) — gives throttle/lua/
+              // flowcounter a ts column to work on
+              if (p.timeKey.isDefined)
+                parsed.withColumn("ts", p.eventTime(col("line")))
+              else parsed
+            case None => df
           }
         case Some("dummy") =>
           val n = s.get("Samples").map(_.toLong).getOrElse(1000L)
@@ -130,6 +139,21 @@ object ConfPipeline {
               Nest.lift(s.get("Nested_under").getOrElse("nested"),
                 s.get("Prefix_with").getOrElse(""))(df)
             case other => throw new IllegalArgumentException(s"nest: Operation $other")
+          }
+        case Some("lua") =>
+          // lua.c:330-393 semantics over a registered Scala function; the
+          // callback runs ONLY on matching rows (it can drop), the rest
+          // pass through untouched
+          val script = s.get("script").getOrElse(
+            throw new IllegalArgumentException("lua filter needs script"))
+          val callName = s.get("call").getOrElse(
+            throw new IllegalArgumentException("lua filter needs call"))
+          val fn = Scripted.LuaRegistry.resolve(script, callName)
+          if (matchGlob == "*") Scripted.applyLua(df, fn)
+          else {
+            val m = Glob.tagMatches(col("tag"), matchGlob)
+            Scripted.applyLua(df.filter(m), fn)
+              .unionByName(df.filter(!m), allowMissingColumns = true)
           }
         case Some("modify") =>
           // fixed-schema face of filter_modify: structural rules act on

@@ -44,6 +44,32 @@ class AsOfJoinSpec extends AnyFunSuite {
         dims, "k", "ts_d", "v"))
   }
 
+  test("lastBeforeScalable ≡ lastBefore on a hot key spanning many buckets (incl. edge cases)") {
+    // one hot key with 2000 events over 20 buckets, dims every 70 ticks;
+    // a key with NO dims; events before the first dim; dim-less buckets;
+    // a dim exactly on a bucket boundary and an event at the same tick
+    val events = spark.range(0, 2000).select(
+        when(col("id") % 100 === 99, 2L).otherwise(1L).as("k"),
+        timestamp_micros(col("id") * 1000000L).as("ts"),
+        col("id").as("event_id"))
+    val dims = spark.range(0, 25).select(
+        lit(1L).as("k"),
+        timestamp_micros((col("id") * 70 + 100) * 1000000L).as("ts_d"),
+        col("id").as("v"))
+      .unionByName(Seq((1L, ts(1000), 777L)).toDF("k", "ts_d", "v")) // on a boundary
+    val bucket = (t: org.apache.spark.sql.Column) =>
+      (unix_micros(t.cast("timestamp")) / lit(100000000L)).cast("long") // 100 s buckets
+    val base = AsOfJoin.lastBefore(events, "k", "ts", dims, "k", "ts_d", "v")
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toMap
+    val scalable = AsOfJoin.lastBeforeScalable(events, "k", "ts", dims, "k", "ts_d", "v" :: Nil, bucket)
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(scalable.size == 2000 && scalable == base)
+    // windows partition by (key, bucket) — the hot key's sort is split
+    val plan = AsOfJoin.lastBeforeScalable(events, "k", "ts", dims, "k", "ts_d",
+      "v" :: Nil, bucket).queryExecution.executedPlan.toString
+    assert(plan.contains("_b"), plan)
+  }
+
   test("one exchange per input side (sort-based, no per-event probe)") {
     val events = spark.range(0, 1000).select(
       (col("id") % 7).as("k"), timestamp_micros(col("id") * 1000000L).as("ts"),

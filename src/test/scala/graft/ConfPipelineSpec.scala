@@ -149,6 +149,46 @@ class ConfPipelineSpec extends AnyFunSuite {
     assert((frame(0) & 0xff) == 0x92) // fixarray 2: [tag, entries]
   }
 
+  test("conf lua filter: registered Scala fn — drop / replace record+timestamp (lua.c:330-393)") {
+    import org.apache.spark.sql.functions._
+    graft.operators.Scripted.LuaRegistry.register("anon.lua:cb_anon", (_, ts, rec) => {
+      rec.get("code") match {
+        case Some("200")                    => (-1, ts, rec)  // skip record
+        case Some(c) if c.startsWith("5")   =>                // replace rec AND ts
+          (1, 1500000000.5, rec.updated("path", "/REDACTED"))
+        case _                              => (0, ts, rec)   // keep original
+      }
+    })
+    val dir = Files.createTempDirectory("graft-conf-lua").toString
+    mkLog(dir, "app.log", Seq(200, 500, 404))
+    val conf =
+      s"""[INPUT]
+         |    Name   tail
+         |    Path   $dir/*.log
+         |    Tag    logs.*
+         |    Parser apache
+         |
+         |[FILTER]
+         |    Name   lua
+         |    Match  *
+         |    script anon.lua
+         |    call   cb_anon
+         |
+         |[OUTPUT]
+         |    Name counter
+         |    Match *
+         |""".stripMargin
+    val out = ConfPipeline.load(spark, conf, parsersConf).filtered
+    val rows = out.select(col("code").cast("long"), col("path"),
+        unix_micros(col("ts").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length == 2) // the 200 was dropped
+    // 404: untouched — original path and the PARSED event time survive
+    assert(rows(0) == ((404L, "/p/2", 1500322623000000L)))
+    // 500: record replaced, ts replaced from the returned double seconds
+    assert(rows(1) == ((500L, "/REDACTED", 1500000000500000L)))
+  }
+
   private def mkLog(dir: String, name: String, codes: Seq[Int]): Unit = {
     val lines = codes.zipWithIndex.map { case (c, i) =>
       s"""h$i - u [17/Jul/2017:20:17:03 +0000] "GET /p/$i HTTP/1.1" $c ${i * 10}"""
