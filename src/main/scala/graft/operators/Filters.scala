@@ -125,10 +125,21 @@ object Modify {
     case RemoveWildcard(p) => map_filter(m, (key, _) => !key.startsWith(p))
   }
 
-  /** Fold rules over the record-map column, guarded by the conjunction of
+  /** Apply the guarded rule chain — ONE fused pass per row
+    * ([[graft.functions.ModifyChain]]); the per-rule column fold below
+    * materialized n intermediate maps per row.
+    */
+  def apply(recordCol: String, conditions: Seq[Condition], rules: Seq[Rule])(df: DataFrame): DataFrame =
+    df.withColumn(recordCol, org.apache.spark.sql.GraftShim.column(
+      graft.functions.ModifyChain(
+        org.apache.spark.sql.GraftShim.expression(col(recordCol)), conditions, rules)))
+
+  /** Reference column formulation (spec cross-check): fold one
+    * map_filter/map_concat layer per rule, guarded by the conjunction of
     * conditions (a record failing the conditions is NOTOUCH'd).
     */
-  def apply(recordCol: String, conditions: Seq[Condition], rules: Seq[Rule])(df: DataFrame): DataFrame = {
+  private[graft] def applyColumns(recordCol: String, conditions: Seq[Condition],
+                                  rules: Seq[Rule])(df: DataFrame): DataFrame = {
     val m0 = col(recordCol)
     val guard = conditions.map(condition(m0, _)).reduceOption(_ && _).getOrElse(lit(true))
     val transformed = rules.foldLeft(m0)(applyRule)

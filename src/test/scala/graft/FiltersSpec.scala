@@ -93,6 +93,33 @@ class FiltersSpec extends AnyFunSuite {
     assert(out == Map("b" -> "1", "a" -> "new"))
   }
 
+  test("fused ModifyChain ≡ the column fold, row-for-row incl. key ORDER and null values") {
+    // varied corpus: per-row key sets, null values, rule-relevant keys
+    val corpus = spark.range(0, 200).select(col("id"),
+      map_filter(
+        map(lit("a"), when(col("id") % 3 === 0, col("id").cast("string")),
+          lit("b"), when(col("id") % 2 === 0, lit("x")),
+          lit("px"), lit("1"), lit("py"), lit("2"),
+          lit("lvl"), when(col("id") % 5 === 0, lit("error")).otherwise(lit("info"))),
+        (k, v) => v.isNotNull || k === "a").as("record")) // keep a null-VALUED key
+    val conditions = Seq(Modify.KeyValueDoesNotEqual("lvl", "info"))
+    val rules = Seq(
+      Modify.Rename("a", "b"), Modify.HardRename("b", "c"), Modify.Copy("c", "d"),
+      Modify.HardCopy("d", "px"), Modify.Add("env", "prod"), Modify.Set("lvl", "seen"),
+      Modify.Remove("py"), Modify.RemoveWildcard("p"))
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), map_keys(col("record")).as("ks"),
+        transform(map_values(col("record")), v => coalesce(v, lit("«null»"))).as("vs"))
+      .as[(Long, Seq[String], Seq[String])].collect().toSeq.sortBy(_._1)
+    val fused = dump(Modify.apply("record", conditions, rules)(corpus))
+    val cols = dump(Modify.applyColumns("record", conditions, rules)(corpus))
+    assert(fused == cols)
+    // and exactly ONE modifychain node, no map_concat layers, in the plan
+    val plan = Modify.apply("record", conditions, rules)(corpus)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(plan.contains("modifychain") && !plan.contains("map_concat"), plan)
+  }
+
   test("modify conditions: ALL must hold; failing rows NOTOUCH (modify.c:582-601)") {
     val df = Seq(("e1", "error"), ("e2", "info")).toDF("id", "lvl")
       .withColumn("record", map(lit("lvl"), col("lvl")))
