@@ -71,6 +71,9 @@ object Bench {
       }
       out.write.mode("overwrite").parquet(s"$outDir/$t")
     }
+    // completion marker: an interrupted build leaves the dir without it,
+    // so the next run rebuilds instead of timing against partial tables
+    Files.writeString(Paths.get(outDir, "_GRAFT_SCALED_OK"), tables.sorted.mkString("\n"))
     System.err.println(s"[bench] built ${factor}x scaled tables at $outDir")
   }
 
@@ -145,7 +148,7 @@ object Bench {
     //      run per query (cold codegen included — cost class, not µ-bench).
     val scaledFactor = sys.env.getOrElse("GRAFT_BENCH_SCALED_FACTOR", "10").toInt
     val scaledDir = s"target/bench_scaled_${new java.io.File(sfDir).getName}_x$scaledFactor"
-    if (scaledFactor > 1 && !Files.exists(Paths.get(scaledDir)))
+    if (scaledFactor > 1 && !Files.exists(Paths.get(scaledDir, "_GRAFT_SCALED_OK")))
       buildScaled(spark, sfDir, scaledDir, scaledFactor)
     val scaledResults = if (scaledFactor <= 1) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -173,13 +176,6 @@ object Bench {
     // ceiling is measured in-process each run and reported alongside.
     // best-of-N after one warmup: host-side throttling causes 2-20× swings
     // between identical runs; per-level best approximates true capability.
-    def atCores(n: Int, reps: Int = 3): Double = {
-      val s = session(n)
-      try {
-        pipelineThroughput(s, inputPath, benchRows) // warmup
-        (1 to reps).map(_ => pipelineThroughput(s, inputPath, benchRows)).max
-      } finally s.stop()
-    }
     def rawCpu(nThreads: Int, millis: Long = 3000): Double = {
       val done = new java.util.concurrent.atomic.AtomicLong
       val stop = System.nanoTime() + millis * 1000000L
@@ -344,7 +340,13 @@ object Bench {
         "| run | local[32] best | scaling best | scaling median (trimmed from r3 on) | spread |\n" +
         "|---|---|---|---|---|\n" +
         (oldRows :+ newRow).mkString("\n") + "\n"
-    try Files.writeString(Paths.get("BENCH.md"), md + history) catch { case _: Throwable => () }
+    // only protocol-sized runs may rewrite the ledger — a dev smoke run
+    // (small GRAFT_BENCH_ROWS / single block) would overwrite the real
+    // numbers and append an incomparable history row
+    val protocolSized = benchRows >= 32000000L && nBlocks >= 3
+    if (protocolSized)
+      try Files.writeString(Paths.get("BENCH.md"), md + history) catch { case _: Throwable => () }
+    else System.err.println("[bench] dev-sized run — BENCH.md left untouched")
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed — failing the bench")
       sys.exit(1)

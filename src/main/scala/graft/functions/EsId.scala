@@ -106,18 +106,7 @@ case class EsId(child: Expression) extends UnaryExpression {
   def compute(mo: Any): Any = {
     val m = mo.asInstanceOf[MapData]
     val out = new ByteArrayOutputStream(64)
-    val n = m.numElements()
-    Msgpack.packMapHeader(out, n)
-    val ks = m.keyArray()
-    val vs = m.valueArray()
-    var i = 0
-    while (i < n) {
-      val k = ks.getUTF8String(i).toString.replace('.', '_')
-      Msgpack.packStr(out, k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (vs.isNullAt(i)) out.write(0xc0)
-      else Msgpack.packStr(out, vs.getUTF8String(i).getBytes)
-      i += 1
-    }
+    Msgpack.packRecord(out, m, keyXform = _.replace('.', '_'))
     UTF8String.fromString(Murmur3.esUuid(out.toByteArray))
   }
 

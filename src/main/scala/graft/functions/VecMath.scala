@@ -18,10 +18,16 @@ import org.apache.spark.sql.types._
   * semantics).
   */
 private[graft] object VecMath {
-  /** element accessor for float/double arrays */
+  /** element accessor widening any numeric array element to double (the
+    * same widening the `x.cast("double")` column formulations apply)
+    */
   def getter(t: DataType): (ArrayData, Int) => Double = t match {
-    case ArrayType(FloatType, _)  => (a, i) => a.getFloat(i).toDouble
-    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i).toDouble
+    case ArrayType(FloatType, _)   => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _)  => (a, i) => a.getDouble(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _)    => (a, i) => a.getLong(i).toDouble
+    case ArrayType(ShortType, _)   => (a, i) => a.getShort(i).toDouble
+    case ArrayType(ByteType, _)    => (a, i) => a.getByte(i).toDouble
     case other => throw new IllegalArgumentException(s"vector type $other")
   }
 }
@@ -232,6 +238,7 @@ case class NearestCells(child: Expression, centIds: Array[Long],
                         centVecs: Array[Array[Double]], nprobe: Int)
     extends UnaryExpression {
   require(centIds.length == centVecs.length && centIds.nonEmpty, "empty centroid set")
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
   require((1 until centIds.length).forall(i => centIds(i - 1) < centIds(i)),
     "centroid ids must be strictly ascending")
 
@@ -307,7 +314,7 @@ case class NearestCells(child: Expression, centIds: Array[Long],
   */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
-    StructField("scale", DoubleType, nullable = false),
+    StructField("scale", DoubleType, nullable = true),
     StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
   override def nullable: Boolean = true
 
@@ -316,6 +323,10 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
   def compute(ao: Any): Any = {
     val a = ao.asInstanceOf[ArrayData]
     val n = a.numElements()
+    // empty vector: the column form's array_max is null → (null scale, [])
+    if (n == 0) return org.apache.spark.sql.catalyst.InternalRow(null,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyIntArray))
     val v = new Array[Double](n)
     var mx = 0.0
     var i = 0
@@ -323,7 +334,9 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
       if (a.isNullAt(i)) return null
       v(i) = get(a, i)
       val ab = math.abs(v(i))
-      if (ab > mx) mx = ab
+      // Double.compare ranks NaN greatest — array_max's ordering, so a
+      // NaN-poisoned vector yields (NaN scale, zero codes) in BOTH forms
+      if (java.lang.Double.compare(ab, mx) > 0) mx = ab
       i += 1
     }
     val scale = mx / 127.0

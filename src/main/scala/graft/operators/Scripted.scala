@@ -59,34 +59,44 @@ object Scripted {
 
   /** Row carrier crossing the typed boundary (record values as strings —
     * the same coercion a Lua table of printed values round-trips through).
+    * `tsUs` keeps the ORIGINAL timestamp exactly (µs, nullable) so kept
+    * (code 0) rows don't round-trip through the callback's double seconds
+    * — only `replaced` rows take the returned double, like the reference
+    * (`flb_time_from_double` only runs on ret 1, lua.c:377-381).
     */
-  final case class LuaRow(tag: String, tsd: Double, rec: Map[String, String])
+  final case class LuaRow(tag: String, tsd: Double, rec: Map[String, String],
+                          tsUs: Option[Long] = None, replaced: Boolean = false)
 
   /** Apply a [[LuaCallback]] over a fixed-schema conf-pipeline frame:
     * columns → record map (stringified), callback per row, surviving
     * records rebuilt onto the ORIGINAL schema (values cast back to each
-    * column's type; a replaced `ts` comes from the returned double
-    * seconds, `flb_time_from_double`).
+    * column's type). Kept rows carry their original `ts` through
+    * untouched (null stays null); a replaced `ts` comes from the returned
+    * double seconds.
     */
   def applyLua(df: DataFrame, fn: LuaCallback): DataFrame = {
     import df.sparkSession.implicits._
     val schema = df.schema
     val hasTs = df.columns.contains("ts")
     val others = df.columns.filterNot(c => c == "tag" || c == "ts").toSeq
-    val tsd = if (hasTs) coalesce(col("ts").cast("timestamp").cast("double"), lit(0.0))
-              else lit(0.0)
-    val carrier = df.select(col("tag"), tsd.as("tsd"),
-      map(others.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("rec")).as[LuaRow]
+    val tsUs = if (hasTs) unix_micros(col("ts").cast("timestamp"))
+               else lit(null).cast("long")
+    val carrier = df.select(col("tag"),
+      coalesce(tsUs.cast("double") / 1e6, lit(0.0)).as("tsd"),
+      map(others.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("rec"),
+      tsUs.as("tsUs"), lit(false).as("replaced")).as[LuaRow]
     val out = carrier.flatMap { r =>
       fn(r.tag, r.tsd, r.rec) match {
         case (-1, _, _)    => Iterator.empty                       // skip record
-        case (1, t2, rec2) => Iterator.single(LuaRow(r.tag, t2, rec2)) // replaced
+        case (1, t2, rec2) => Iterator.single(LuaRow(r.tag, t2, rec2, r.tsUs, replaced = true))
         case _             => Iterator.single(r)                   // 0 / unexpected: keep
       }
     }
     val rebuilt = others.map(c => element_at(col("rec"), c).cast(schema(c).dataType).as(c))
     val tsCol = if (hasTs)
-      Seq(col("tsd").cast("timestamp").cast(schema("ts").dataType).as("ts")) else Nil
+      Seq(when(col("replaced"), col("tsd").cast("timestamp"))
+        .otherwise(timestamp_micros(col("tsUs")))
+        .cast(schema("ts").dataType).as("ts")) else Nil
     out.select(col("tag") +: (tsCol ++ rebuilt): _*)
   }
 }

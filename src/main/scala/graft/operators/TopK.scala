@@ -23,8 +23,6 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 object TopK {
 
-  final case class Entry(ord: Double, id: Long)
-
   private class TopKAgg(k: Int)
       extends Aggregator[(Double, Long), (Array[Double], Array[Long]), Seq[(Double, Long)]] {
 

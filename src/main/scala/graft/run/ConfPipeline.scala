@@ -66,8 +66,11 @@ object ConfPipeline {
               val parsed = ParserFilter.flatten("line", p)(df)
               // tail+parser stamps the record time from Time_Key (the
               // reference's in_tail parse path) — gives throttle/lua/
-              // flowcounter a ts column to work on
-              if (p.timeKey.isDefined)
+              // flowcounter a ts column to work on. Both Time_Key AND
+              // Time_Format must be set: a key without a format would add
+              // an all-null ts that flips those filters from no-op to
+              // actively bucketing everything into null
+              if (p.timeKey.isDefined && p.timeFormat.isDefined)
                 parsed.withColumn("ts", p.eventTime(col("line")))
               else parsed
             case None => df

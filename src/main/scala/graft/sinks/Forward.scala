@@ -61,6 +61,30 @@ object Msgpack {
     out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
     out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
   }
+
+  /** Pack a `map<string,string>` record (null values → msgpack nil). The
+    * ONE shared serialization of the engine's record carrier — the forward
+    * entry and the ES Generate_ID hash input both use it, so the layout
+    * can't drift between them. `keyXform = null` keeps the zero-copy
+    * UTF8String key path (the forward hot path); a non-null transform
+    * (ES dot-sanitize) goes through String.
+    */
+  def packRecord(out: ByteArrayOutputStream, rec: MapData,
+                 keyXform: String => String = null): Unit = {
+    val n = rec.numElements()
+    packMapHeader(out, n)
+    val ks = rec.keyArray()
+    val vs = rec.valueArray()
+    var i = 0
+    while (i < n) {
+      if (keyXform == null) packStr(out, ks.getUTF8String(i).getBytes)
+      else packStr(out, keyXform(ks.getUTF8String(i).toString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (vs.isNullAt(i)) out.write(0xc0)
+      else packStr(out, vs.getUTF8String(i).getBytes)
+      i += 1
+    }
+  }
 }
 
 /** One forward entry `[time, record]` as a binary column value. */
@@ -76,18 +100,7 @@ case class ForwardEntry(first: Expression, second: Expression, third: Expression
     Msgpack.packArrayHeader(out, 2)
     if (timeAsInteger) Msgpack.packUint(out, sec) // forward.c:491-493
     else out.write(FlbTime.packEventTime(sec, nsec.toLong & 0xffffffffL), 0, 10)
-    val n = rec.numElements()
-    Msgpack.packMapHeader(out, n)
-    val ks = rec.keyArray()
-    val vs = rec.valueArray()
-    var i = 0
-    while (i < n) {
-      Msgpack.packStr(out, ks.getUTF8String(i).getBytes)
-      // null record values pack as msgpack nil (parsed-but-absent fields)
-      if (vs.isNullAt(i)) out.write(0xc0)
-      else Msgpack.packStr(out, vs.getUTF8String(i).getBytes)
-      i += 1
-    }
+    Msgpack.packRecord(out, rec)
     out.toByteArray
   }
 
