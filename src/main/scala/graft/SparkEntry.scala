@@ -406,6 +406,17 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // -- same clustering via alternating large-star/small-star (the
+    //    O(log diameter) variant for high-diameter graphs) — identical
+    //    output contract, same arithmetic oracle
+    "dedup_cc_star" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val pairs = d.filter(col("doc_id") % 5 =!= 4 && col("doc_id") < mx)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+    }),
+
     // -- the CANONICAL near-dup pipeline: LSH candidates → verify (true
     //    token equality — kills band-key collision false positives) →
     //    connected components → canonical keeper per cluster + all
@@ -471,6 +482,18 @@ object SparkEntry {
         .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
       Similarity.ivfAssign(
         e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cell"))
+    }),
+
+    // -- k-means-trained IVF: 8 centroids, 2 Lloyd iterations, then the
+    //    narrow cell assignment. Rows-only check: per-cell float MEANS are
+    //    parallel sums (not bit-reproducible across engines) — KMeansSpec
+    //    pins determinism, SSE descent, and blob recovery instead
+    "sim_kmeans_cells" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = graft.operators.KMeans.fit(e, "vec_id", "embedding", 8, 2)
+      Similarity.ivfAssign(e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", cents)
         .select(col("vec_id"), col("cell"))
     }),
 
@@ -1017,6 +1040,11 @@ object SparkEntry {
          WHERE doc_id % 2 = 0 OR (doc_id - 1) % 64 = 0""",
 
     "dedup_cc" ->
+      """SELECT doc_id AS id, doc_id - doc_id % 5 AS comp
+         FROM documents WHERE doc_id < (SELECT max(doc_id) FROM documents)
+            OR doc_id % 5 <> 0""",
+
+    "dedup_cc_star" ->
       """SELECT doc_id AS id, doc_id - doc_id % 5 AS comp
          FROM documents WHERE doc_id < (SELECT max(doc_id) FROM documents)
             OR doc_id % 5 <> 0""",

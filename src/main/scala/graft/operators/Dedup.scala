@@ -189,6 +189,75 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond" — a
+    * published algorithm, restated on DataFrames):
+    *
+    *   - large-star: every node attaches its LARGER neighbors to the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: every node attaches its smaller-or-equal neighbors
+    *     (its parent candidates) and itself to that minimum.
+    *
+    * Each round is two groupBy-min + join passes over fixed-width (u, v)
+    * pairs (map-side partial min — no hot-node window sort), and the edge
+    * set converges to per-component STARS rooted at the minimum id in
+    * O(log diameter) rounds — the variant for HIGH-DIAMETER graphs where
+    * [[connectedComponents]]' min-label propagation needs O(diameter)
+    * rounds (a 10⁶-link chain: ~20 rounds vs 10⁶). Dedup clusters are
+    * near-cliques, so the simple propagation usually wins on constants;
+    * this is the dial to turn when component diameters blow up.
+    *
+    * Output identical to [[connectedComponents]]: (id, comp = min id of
+    * the component) — shares its oracle (dedup_cc_star) and an
+    * equivalence spec.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    // attach larger neighbors to min(Γ(u) ∪ {u}): emit (v, m(u)) for v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      dir.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+    }
+
+    // attach smaller neighbors AND u itself to min(Γ≤(u) ∪ {u}); input
+    // canonical (u > v), so every neighbor here is already smaller
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+    }
+
+    var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))).localCheckpoint()
+    def sigOf(e: DataFrame) =
+      e.agg(count(lit(1)), sum(col("u")), sum(col("v"))).collect()(0)
+    var sig = sigOf(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      edges = canon(smallStar(canon(largeStar(edges)))).localCheckpoint()
+      val s = sigOf(edges)
+      converged = s == sig
+      sig = s
+      i += 1
+    }
+    // fixpoint = stars: non-roots point straight at their component min;
+    // roots never appear on the left side
+    edges.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(edges.select(col("v")).distinct()
+        .select(col("v").as("id"), col("v").as("comp")))
+  }
+
   /** SimHash over token ids (`bits`-wide): bit b set iff
     * Σ_tokens (bit_b(h(t))·2 − 1) > 0, h(t) = t·2654435761 mod 2³².
     * One fused expression, one pass over the array per row.

@@ -101,6 +101,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connectedComponentsStar ≡ connectedComponents ≡ union-find; converges on a 300-node PATH") {
+    // same mixed graph as above: star variant must agree with both
+    val edges = (0L until 200L).flatMap { i =>
+      val chain = if (i % 7 != 6 && i + 1 < 200) Seq((i, i + 1)) else Nil
+      val far = if (i % 11 == 0 && i + 13 < 200) Seq((i, i + 13)) else Nil
+      chain ++ far
+    }
+    val viaProp = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Dedup.connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp)
+    // the high-diameter case the variant exists for: a 300-link path needs
+    // ~300 min-label rounds but only O(log) star rounds — maxIter 12 must
+    // fully collapse it to comp 0
+    val path = (0L until 300L).map(i => (i, i + 1))
+    val star = Dedup.connectedComponentsStar(path.toDF("a", "b"), "a", "b", maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(star.length == 301 && star.forall(_._2 == 0L))
+    // empty input → empty labels (no crash on the fixpoint probe)
+    assert(Dedup.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
+  }
+
   test("decontamination: twins of benchmark docs flagged; corpus side joins via broadcast") {
     val base = spark.range(0, 200).select(col("id").as("seq"),
       graft.sources.TokenTable.tokensFor(col("id") - col("id") % 2).as("tokens"))
