@@ -17,7 +17,8 @@ import graft.sources.TailSource
   * applied in file order, every filter/output gated by its `Match` glob.
   *
   * Supported subset (the shipped plugin surface of this engine):
-  *   - INPUT: `tail` (Path, Tag, Parser), `dummy` (Dummy, Samples)
+  *   - INPUT: `tail` (Path, Tag, Parser), `dummy` (Dummy, Samples),
+  *     `head` (File, Lines/Buf_Size), `exec` (Command, Parser)
   *   - FILTER: `grep` (Regex/Exclude k p, encounter order), `record_modifier`
   *     (Remove_key/Whitelist_key/Record), `parser` (Key_Name, Parser,
   *     Reserve_Data, Preserve_Key), `throttle` (Rate, Interval), `nest`
@@ -81,6 +82,26 @@ object ConfPipeline {
           spark.range(n).select(
             concat(lit("dummy-"), col("id").cast("string")).as("line"),
             lit("dummy").as("file"), lit(tag).as("tag"))
+        case Some("head") =>
+          // in_head: first Lines lines / Buf_Size bytes per file; content
+          // lands in the conf frame's `line` column (record key deviation
+          // documented on HeadSource)
+          val file = s.get("File").getOrElse(
+            throw new IllegalArgumentException("head input needs File"))
+          val tag = s.get("Tag").getOrElse("head.0")
+          graft.sources.HeadSource(spark, file, tag,
+            lines = s.get("Lines").map(_.toInt).getOrElse(0),
+            bytes = s.get("Buf_Size").map(_.toLong).getOrElse(256L),
+            key = "line")
+        case Some("exec") =>
+          val cmd = s.get("Command").getOrElse(
+            throw new IllegalArgumentException("exec input needs Command"))
+          val tag = s.get("Tag").getOrElse("exec.0")
+          val df = graft.sources.ExecSource(spark, cmd, tag)
+          s.get("Parser").flatMap(parsers.get) match {
+            case Some(p) => ParserFilter.flatten("line", p)(df)
+            case None    => df
+          }
         case other =>
           throw new IllegalArgumentException(s"unsupported input $other")
       }

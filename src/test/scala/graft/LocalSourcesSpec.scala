@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ExecSource, HeadSource}
+
+/** `in_head` / `in_exec` — the two local-IO inputs beyond tail
+  * (`plugins/in_head/in_head.c`, `plugins/in_exec/in_exec.c`).
+  */
+class LocalSourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mkFile(dir: String, name: String, text: String): Unit = {
+    Files.writeString(Paths.get(dir, name), text)
+    ()
+  }
+
+  test("head lines mode: first N lines per file, one record, composed tag") {
+    val dir = Files.createTempDirectory("graft-head").toString
+    mkFile(dir, "a.log", "l1\nl2\nl3\nl4\n")
+    mkFile(dir, "b.log", "only\n")
+    val got = HeadSource(spark, s"$dir/*.log", "h.*", lines = 2)
+      .select(col("head"), col("tag")).as[(String, String)].collect().toMap
+    assert(got.keySet == Set("l1\nl2", "only"))
+    assert(got.values.forall(t => t.startsWith("h.") && t.endsWith(".log")))
+  }
+
+  test("head bytes mode counts BYTES; addPath appends the path (in_head.c:191-196)") {
+    val dir = Files.createTempDirectory("graft-headb").toString
+    mkFile(dir, "c.bin", "0123456789abcdef")
+    val r = HeadSource(spark, s"$dir/*.bin", "h", bytes = 4, addPath = true)
+      .select(col("head"), col("path")).collect()(0)
+    assert(r.getString(0) == "0123")
+    assert(r.getString(1).endsWith("c.bin"))
+  }
+
+  test("head Split_line: map record {line0..lineN} (in_head.c:199-244)") {
+    val dir = Files.createTempDirectory("graft-heads").toString
+    mkFile(dir, "s.log", "a\nb\nc\n")
+    val m = HeadSource.splitLines(spark, s"$dir/*.log", "h", lines = 2)
+      .select("record").collect()(0).getMap[String, String](0).toMap
+    assert(m == Map("line0" -> "a", "line1" -> "b"))
+  }
+
+  test("exec: one record per stdout line via sh -c (in_exec.c:46-100)") {
+    val got = ExecSource(spark, "printf 'x 1\\ny 2\\n'", "cmd.0")
+      .select("line", "tag").as[(String, String)].collect().toSeq
+    assert(got == Seq(("x 1", "cmd.0"), ("y 2", "cmd.0")))
+  }
+
+  test("conf surface: [INPUT] exec + grep filter end-to-end") {
+    val conf =
+      """[INPUT]
+        |    Name    exec
+        |    Command printf 'keep 5\ndrop 2\nkeep 7\n'
+        |    Tag     exec.demo
+        |
+        |[FILTER]
+        |    Name   grep
+        |    Match  *
+        |    Regex  line ^keep
+        |
+        |[OUTPUT]
+        |    Name counter
+        |    Match *
+        |""".stripMargin
+    val loaded = graft.run.ConfPipeline.load(spark, conf, "")
+    assert(loaded.filtered.count() == 2)
+  }
+}
