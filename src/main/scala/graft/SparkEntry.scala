@@ -340,6 +340,21 @@ object SparkEntry {
         .select(col("event_id"), col("val"))
     }),
 
+    // -- as-of join, broadcast-dim variant: events stay UNSHUFFLED (narrow
+    //    binary-search lookup over a driver-collected timeline + broadcast
+    //    payload attach) — same DuckDB ASOF oracle proves equivalence
+    "q_asof_join_bcast" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val days = ev.select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+      val dims = days
+        .select(col("user_id"), col("d"), explode(sequence(lit(0), lit(3))).as("k"))
+        .select(col("user_id"),
+          timestamp_micros(unix_micros(col("d")) + col("k") * 21600000000L).as("ts_d"),
+          (col("user_id") * 10 + col("k")).cast("long").as("val"))
+      AsOfJoin.lastBeforeBroadcast(ev, "user_id", "ts", dims, "user_id", "ts_d", Seq("val"))
+        .select(col("event_id"), col("val"))
+    }),
+
     // -- as-of join, hot-key pre-split variant: same semantics, windows
     //    partitioned by (key, day bucket) + tiny carry table — same DuckDB
     //    ASOF oracle proves equivalence
@@ -970,6 +985,16 @@ object SparkEntry {
            FROM orders) WHERE rn <= 3""",
 
     "q_asof_join" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+         dims AS (
+           SELECT user_id, d + to_hours(CAST(6*k AS BIGINT)) AS ts_d,
+                  CAST(user_id*10 + k AS BIGINT) AS val
+           FROM days, (SELECT unnest([0,1,2,3]) AS k) ks)
+         SELECT e.event_id, d.val
+         FROM events e ASOF LEFT JOIN dims d
+           ON e.user_id = d.user_id AND e.ts >= d.ts_d""",
+
+    "q_asof_join_bcast" ->
       """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
          dims AS (
            SELECT user_id, d + to_hours(CAST(6*k AS BIGINT)) AS ts_d,

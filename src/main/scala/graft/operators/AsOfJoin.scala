@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** As-of join: for every event, attach the LATEST dimension row with
   * `dim.ts <= event.ts` for the same key — "what config/price/metadata
@@ -54,6 +57,91 @@ object AsOfJoin {
                  dims: DataFrame, dKey: String, dTs: String,
                  valCol: String): DataFrame =
     lastBefore(events, eKey, eTs, dims, dKey, dTs, Seq(valCol))
+
+  /** Per-row as-of lookup against a DRIVER-COLLECTED dim timeline:
+    * for (key, ts) return the LARGEST dim timestamp ≤ ts for that key
+    * (binary search over the key's sorted history), null when none.
+    * The timeline rides into tasks as a plan literal — same pattern as
+    * [[graft.functions.NearestCells]].
+    */
+  private[graft] case class AsOfLookup(left: Expression, right: Expression,
+                                       timeline: Map[Long, Array[Long]])
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    def compute(k: Long, ts: Long): Any = {
+      val arr = timeline.getOrElse(k, null)
+      if (arr == null || arr.length == 0 || arr(0) > ts) return null
+      // largest index with arr(i) <= ts
+      var lo = 0
+      var hi = arr.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (arr(mid) <= ts) lo = mid else hi = mid - 1
+      }
+      java.lang.Long.valueOf(arr(lo))
+    }
+
+    override def nullSafeEval(k: Any, ts: Any): Any =
+      compute(k.asInstanceOf[Long], ts.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("aol", this, classOf[AsOfLookup].getName)
+      nullSafeCodeGen(ctx, ev, (k, t) => {
+        val r = ctx.freshName("r")
+        s"""
+           |Object $r = $ref.compute($k, $t);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Broadcast-dim as-of join — the ZERO-SHUFFLE plan shape for the common
+    * case where the dim table (config/price/metadata history) fits on the
+    * driver: the (key → sorted dim-ts) timeline is collected once and the
+    * match becomes a NARROW per-event binary search; dim payloads attach
+    * afterwards with a broadcast join on (key, matched ts) — no exchange
+    * of the event stream at all ([[lastBefore]] sorts both sides once;
+    * this never touches event partitioning, the 100 TB default whenever
+    * dims are broadcast-small).
+    *
+    * Contract: integral keys, timestamp/integral-µs `ts` columns, ≥-bound
+    * and pre-dim-null semantics identical to [[lastBefore]] (shared DuckDB
+    * ASOF oracle + equivalence spec). Several dims on one (key, ts) keep
+    * ONE arbitrary row (`dropDuplicates`) — the same indeterminism class
+    * as the window formulation's tie order.
+    */
+  def lastBeforeBroadcast(events: DataFrame, eKey: String, eTs: String,
+                          dims: DataFrame, dKey: String, dTs: String,
+                          valCols: Seq[String]): DataFrame = {
+    require(!valCols.exists(events.columns.contains),
+      s"events already carry ${valCols.filter(events.columns.contains).mkString(",")} — " +
+        "alias the dim values")
+    val timeline: Map[Long, Array[Long]] = dims
+      .select(col(dKey).cast("long"), unix_micros(col(dTs).cast("timestamp")))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) => k -> rows.map(_.getLong(1)).distinct.sorted }
+    val matched = events.withColumn("_dim_ts_us",
+      GraftShim.column(AsOfLookup(
+        GraftShim.expression(col(eKey).cast("long")),
+        GraftShim.expression(unix_micros(col(eTs).cast("timestamp"))),
+        timeline)))
+    val d = dims.select(
+      col(dKey).cast("long").as("_dk") +:
+        unix_micros(col(dTs).cast("timestamp")).as("_dts") +:
+        valCols.map(col): _*)
+      .dropDuplicates("_dk", "_dts")
+    matched.join(broadcast(d),
+        matched(eKey).cast("long") === d("_dk") && matched("_dim_ts_us") === d("_dts"),
+        "left")
+      .drop("_dim_ts_us", "_dk", "_dts")
+  }
 
   /** Hot-key-safe two-phase variant of [[lastBefore]] (the same dial
     * `Throttle.scalable` applies to panes): a single key's entire history

@@ -81,6 +81,60 @@ object StreamPipeline {
       }
   }
 
+  // --------------------------------------------------------------- as-of
+  final case class AsOfIn(k: Long, tsUs: Long, isDim: Boolean,
+                          dimVal: Option[Long], eventId: Option[Long])
+  final case class AsOfOut(k: Long, tsUs: Long, eventId: Long, dimVal: Option[Long])
+  final case class AsOfState(ts: List[Long], vs: List[Option[Long]])
+
+  /** Streaming as-of enrich over a MERGED keyed stream of events and dims
+    * — the stateful face of [[graft.operators.AsOfJoin.lastBefore]]'s
+    * union shape. Per key the state is the dim timeline seen so far; each
+    * micro-batch's rows are walked in (ts, dim-first) order, so in-batch
+    * semantics match the batch window exactly (≥ bound: a dim at an
+    * event's exact ts wins), and dims persist across batches.
+    *
+    * Append-only contract: an event is enriched with the dims ARRIVED by
+    * its batch — a later out-of-order dim does not retroactively rewrite
+    * an already-emitted event (the approximation every append-mode as-of
+    * stream makes; the batch operator is the exact replay).
+    *
+    * @param maxDims state-size dial: keep only the LATEST n dims per key
+    *                (old entries can no longer win any future lookup once
+    *                newer dims exist, unless events arrive further out of
+    *                order than the retained window)
+    */
+  def asOf(ds: Dataset[AsOfIn], maxDims: Int = 1024): Dataset[AsOfOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfState]) =>
+          val st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          // ascending-ts timeline as parallel DESCENDING lists (head = latest)
+          var ts = st.ts
+          var vs = st.vs
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          rows.toSeq.sortBy(r => (r.tsUs, !r.isDim)).foreach { r =>
+            if (r.isDim) {
+              if (ts.isEmpty || r.tsUs >= ts.head) { ts = r.tsUs :: ts; vs = r.dimVal :: vs }
+              else {
+                // out-of-order dim: splice into position (rare path)
+                val (newer, older) = ts.zip(vs).span(_._1 > r.tsUs)
+                val spliced = newer ::: ((r.tsUs, r.dimVal) :: older)
+                ts = spliced.map(_._1); vs = spliced.map(_._2)
+              }
+              if (ts.length > maxDims) { ts = ts.take(maxDims); vs = vs.take(maxDims) }
+            } else {
+              val m = ts.zip(vs).find(_._1 <= r.tsUs).map(_._2)
+              out += AsOfOut(k, r.tsUs, r.eventId.getOrElse(-1L), m.flatten)
+            }
+          }
+          state.update(AsOfState(ts, vs))
+          out.iterator
+      }
+  }
+
   // ------------------------------------------------------------ multiline
   final case class MlLine(file: String, lineNo: Long, line: String)
   final case class MlPending(startLine: Long, buf: String)

@@ -70,6 +70,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("_b"), plan)
   }
 
+  test("lastBeforeBroadcast ≡ lastBefore; events stay UNSHUFFLED (no hash Exchange)") {
+    val events = spark.range(0, 2000).select(
+        (col("id") % 7).as("k"), timestamp_micros(col("id") * 1000000L).as("ts"),
+        col("id").as("event_id"))
+    val dims = spark.range(0, 50).select(
+        (col("id") % 7).as("k"), timestamp_micros(col("id") * 17000000L).as("ts_d"),
+        col("id").as("v"))
+    val base = AsOfJoin.lastBefore(events, "k", "ts", dims, "k", "ts_d", "v")
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toMap
+    val bcast = AsOfJoin.lastBeforeBroadcast(events, "k", "ts", dims, "k", "ts_d", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(bcast.size == 2000 && bcast == base)
+    // pre-first-dim events + exact-tie inclusivity carry over
+    val e2 = Seq((1L, ts(100), "e1"), (1L, ts(200), "e2")).toDF("k", "ts", "event_id")
+    val d2 = Seq((1L, ts(200), "v200")).toDF("k", "ts_d", "v")
+    val got = AsOfJoin.lastBeforeBroadcast(e2, "k", "ts", d2, "k", "ts_d", Seq("v"))
+      .select("event_id", "v").as[(String, Option[String])].collect().toMap
+    assert(got == Map("e1" -> None, "e2" -> Some("v200")))
+    // zero-shuffle EVENTS: between the asoflookup projection and the event
+    // scan there is no Exchange (the tiny dim side may shuffle for its
+    // dropDuplicates; the payload attach is a broadcast join)
+    val out = AsOfJoin.lastBeforeBroadcast(events, "k", "ts", dims, "k", "ts_d", Seq("v"))
+    out.collect()
+    val lines = out.queryExecution.executedPlan.toString.linesIterator.toSeq
+    val lookup = lines.indexWhere(_.contains("asoflookup"))
+    val scan = lines.indexWhere(_.contains("Range (0, 2000"), lookup)
+    assert(lookup >= 0 && scan > lookup, lines.mkString("\n"))
+    assert(!lines.slice(lookup, scan).exists(_.contains("Exchange")), lines.mkString("\n"))
+    assert(lines.exists(_.contains("BroadcastHashJoin")), lines.mkString("\n"))
+  }
+
   test("one exchange per input side (sort-based, no per-event probe)") {
     val events = spark.range(0, 1000).select(
       (col("id") % 7).as("k"), timestamp_micros(col("id") * 1000000L).as("ts"),

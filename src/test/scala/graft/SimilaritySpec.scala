@@ -206,6 +206,12 @@ class SimilaritySpec extends AnyFunSuite {
         Similarity.quantizeInt8Columns(col("embedding")).as("c"))
       .filter(!(col("f.scale") <=> col("c.scale")) || !(col("f.q") <=> col("c.q")))
     assert(cmp.count() == 0)
+    // reading BOTH struct fields through the alias keeps ONE eval/row:
+    // CollapseProject must not inline a non-cheap custom expression twice
+    val plan = e.withColumn("qz", Similarity.quantizeInt8(col("embedding")))
+      .select(col("qz.scale"), col("qz.q"))
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert("quantizeint8".r.findAllIn(plan).size == 1, plan)
   }
 
   test("top-k paths EXCLUDE null-scored candidates (zero-norm vectors) — pinned contract") {

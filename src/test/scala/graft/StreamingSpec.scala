@@ -129,6 +129,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(1L -> "HEAD a\n  a2\n  a3", 4L -> "HEAD b\n  b2\n  b3"))
   }
 
+  test("streaming as-of: dims arriving in an earlier batch enrich later events ≡ batch lastBefore") {
+    import StreamPipeline.AsOfIn
+    val dir = Files.createTempDirectory("graft-stream-asof").toString
+    // dims: keys 0..2, ts 200/400/600 (µs), val = k*1000 + ts
+    val dims = for (k <- 0L to 2L; t <- Seq(200L, 400L, 600L))
+      yield AsOfIn(k, t, isDim = true, Some(k * 1000 + t), None)
+    // events: before any dim (100), exact tie (400), between (450), after (900)
+    val events = for (k <- 0L to 2L; (t, i) <- Seq(100L, 400L, 450L, 900L).zipWithIndex)
+      yield AsOfIn(k, t, isDim = false, None, Some(k * 10 + i))
+    dims.toDF().coalesce(1).write.parquet(s"$dir/part1")
+    Thread.sleep(1100)
+    events.toDF().coalesce(1).write.parquet(s"$dir/part2")
+    val stream = spark.readStream.schema(dims.toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part*").as[AsOfIn]
+    StreamPipeline.drainToMemory(StreamPipeline.asOf(stream).toDF(), "asof_out")
+    val got = spark.sql("SELECT eventId, dimVal FROM asof_out")
+      .as[(Long, Option[Long])].collect().toMap
+    // batch reference on the same rows
+    val want = graft.operators.AsOfJoin.lastBefore(
+        events.toDF().select(col("k"), col("tsUs").as("ts"), col("eventId")),
+        "k", "ts",
+        dims.toDF().select(col("k"), col("tsUs").as("ts_d"), col("dimVal").as("dv")),
+        "k", "ts_d", "dv")
+      .select(col("eventId"), col("dv"))
+      .as[(Option[Long], Option[Long])].collect()
+      .map { case (id, v) => id.get -> v }.toMap
+    assert(got.size == 12 && got == want)
+    // single-batch mixed arrival: in-batch (ts, dim-first) walk gives the
+    // same answer — exact-tie inclusivity inside one batch
+    val dir2 = Files.createTempDirectory("graft-stream-asof1").toString
+    (dims ++ events).toDF().coalesce(1).write.parquet(s"$dir2/all")
+    val stream2 = spark.readStream.schema(dims.toDF().schema)
+      .parquet(s"$dir2/all").as[AsOfIn]
+    StreamPipeline.drainToMemory(StreamPipeline.asOf(stream2).toDF(), "asof_out1")
+    val got2 = spark.sql("SELECT eventId, dimVal FROM asof_out1")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got2 == want)
+  }
+
   test("streaming dedup: duplicates dropped across micro-batches (bounded state)") {
     val dir = Files.createTempDirectory("graft-stream-dd").toString
     // two files → two potential batches; doc 1..50 duplicated in both
