@@ -401,6 +401,14 @@ object SparkEntry {
         .select(col("seq") +: (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"mh$j")): _*)
     }),
 
+    // -- sequence packing (concat-and-chunk): each doc's token span and
+    //    ctx-window range under a 256-token context with 1 separator —
+    //    two-phase distributed prefix sum, integer-exact both engines
+    "pack_chunks" -> ((s, dir) => {
+      val t = TokenTable.fromDocuments(s, dir)
+      graft.operators.Packing.packedSpans(t, "seq", "n_tok", ctxLen = 256, sepTokens = 1)
+    }),
+
     // -- MinHash LSH candidate pairs on a table with manufactured dups
     //    (tokens of seq-seq%2 → each even/odd pair identical)
     "dedup_lsh_pairs" -> ((s, dir) => {
@@ -1063,6 +1071,16 @@ object SparkEntry {
     "curate_neardup" ->
       """SELECT doc_id FROM documents
          WHERE doc_id % 2 = 0 OR (doc_id - 1) % 64 = 0""",
+
+    "pack_chunks" ->
+      s"""$tokCtes, c AS (
+           SELECT seq, CAST(n_tok AS BIGINT) + 1 AS eff,
+                  sum(CAST(n_tok AS BIGINT) + 1) OVER (ORDER BY seq) AS cum
+           FROM tokseq)
+         SELECT seq, CAST(cum - eff AS BIGINT) AS start_tok,
+                CAST((cum - eff) // 256 AS BIGINT) AS first_chunk,
+                CAST((cum - 1) // 256 AS BIGINT) AS last_chunk
+         FROM c""",
 
     "dedup_cc" ->
       """SELECT doc_id AS id, doc_id - doc_id % 5 AS comp
