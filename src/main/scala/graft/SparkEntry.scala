@@ -13,10 +13,13 @@ import graft.sources.{Fixtures, TokenTable}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every `queries` entry has a DuckDB-executable oracle in [[oracleSql]]
-  * built over the SAME parquet tables; the token-sequence pipeline queries
-  * derive the BASELINE-shape input deterministically from `documents`
-  * ([[TokenTable]]) so both engines compute over identical rows.
+  * Every `queries` entry except `sim_kmeans_cells` has a DuckDB-executable
+  * oracle in [[oracleSql]] built over the SAME parquet tables (that one is
+  * rows-only by design: per-cell float MEANS are parallel sums, not
+  * bit-reproducible across engines — KMeansSpec pins its semantics);
+  * the token-sequence pipeline queries derive the BASELINE-shape input
+  * deterministically from `documents` ([[TokenTable]]) so both engines
+  * compute over identical rows.
   */
 object SparkEntry {
 

@@ -1,7 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, GraftShim}
-import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** The reference's time envelope, `struct flb_time { tv_sec, tv_nsec }`
@@ -24,12 +23,7 @@ object FlbTime {
   def apply(sec: Column, nsec: Column): Column =
     struct(sec.cast("long").as("sec"), nsec.cast("int").as("nsec"))
 
-  /** Integer (long) division — Column `/` is DOUBLE division, exact only
-    * below 2⁵³; the envelope stays in LongType end-to-end.
-    */
-  private def longDiv(a: Column, b: Long): Column =
-    GraftShim.column(IntegralDivide(
-      GraftShim.expression(a.cast("long")), GraftShim.expression(lit(b))))
+  private def longDiv(a: Column, b: Long): Column = Arith.longDiv(a, b)
 
   /** Envelope from a µs count (ns = µs remainder × 1000; flooring division
     * keeps pre-epoch instants correct).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** As-of join: for every event, attach the LATEST dimension row with
   * `dim.ts <= event.ts` for the same key — "what config/price/metadata
@@ -116,6 +116,17 @@ object AsOfJoin {
     * ONE arbitrary row (`dropDuplicates`) — the same indeterminism class
     * as the window formulation's tie order.
     */
+  /** Comparable long ordinal of a ts column: integral columns are used AS
+    * IS (matching [[lastBefore]]'s raw comparisons — a µs-count long cast
+    * to timestamp would be read as SECONDS and overflow); everything else
+    * goes through unix_micros.
+    */
+  private def tsOrdinal(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case _ => unix_micros(col(c).cast("timestamp"))
+    }
+
   def lastBeforeBroadcast(events: DataFrame, eKey: String, eTs: String,
                           dims: DataFrame, dKey: String, dTs: String,
                           valCols: Seq[String]): DataFrame = {
@@ -123,18 +134,18 @@ object AsOfJoin {
       s"events already carry ${valCols.filter(events.columns.contains).mkString(",")} — " +
         "alias the dim values")
     val timeline: Map[Long, Array[Long]] = dims
-      .select(col(dKey).cast("long"), unix_micros(col(dTs).cast("timestamp")))
+      .select(col(dKey).cast("long"), tsOrdinal(dims, dTs))
       .collect()
       .groupBy(_.getLong(0))
       .map { case (k, rows) => k -> rows.map(_.getLong(1)).distinct.sorted }
     val matched = events.withColumn("_dim_ts_us",
       GraftShim.column(AsOfLookup(
         GraftShim.expression(col(eKey).cast("long")),
-        GraftShim.expression(unix_micros(col(eTs).cast("timestamp"))),
+        GraftShim.expression(tsOrdinal(events, eTs)),
         timeline)))
     val d = dims.select(
       col(dKey).cast("long").as("_dk") +:
-        unix_micros(col(dTs).cast("timestamp")).as("_dts") +:
+        tsOrdinal(dims, dTs).as("_dts") +:
         valCols.map(col): _*)
       .dropDuplicates("_dk", "_dts")
     matched.join(broadcast(d),

@@ -253,9 +253,16 @@ object Dedup {
     }
     // fixpoint = stars: non-roots point straight at their component min;
     // roots never appear on the left side
-    edges.select(col("u").as("id"), col("v").as("comp"))
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
       .unionByName(edges.select(col("v")).distinct()
         .select(col("v").as("id"), col("v").as("comp")))
+    // nodes whose only pairs were self-loops vanish in canon's u≠v filter
+    // but are components of their own ([[connectedComponents]] keeps them)
+    val allNodes = pairs.select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+    labels.unionByName(
+      allNodes.join(labels, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp")))
   }
 
   /** SimHash over token ids (`bits`-wide): bit b set iff

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, GraftShim}
-import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,9 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  private def longDiv(a: Column, b: Long): Column =
-    GraftShim.column(IntegralDivide(
-      GraftShim.expression(a.cast("long")), GraftShim.expression(lit(b))))
+  private def longDiv(a: Column, b: Long): Column = graft.core.Arith.longDiv(a, b)
 
   /** @return (idCol, start_tok, first_chunk, last_chunk) — chunk ids are
     *         null for zero-length documents (possible only when
@@ -50,9 +47,13 @@ object Packing {
       acc + when(col(idCol).cast("double") > b, 1).otherwise(0))
     val w = Window.partitionBy(col("_b")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // localCheckpoint: the window result feeds BOTH the totals collect and
+    // the returned frame — without it the shuffle re-runs per downstream
+    // action, and the driver-baked offsets could meet a re-computed _lcum
     val local = df.select(col(idCol), eff.as("_eff"))
       .withColumn("_b", bucketCol)
       .withColumn("_lcum", sum(col("_eff")).over(w))
+      .localCheckpoint()
     val totals = local.groupBy(col("_b")).agg(max(col("_lcum")).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var running = 0L

@@ -99,8 +99,14 @@ object ConfPipeline {
           val tag = s.get("Tag").getOrElse("exec.0")
           val df = graft.sources.ExecSource(spark, cmd, tag)
           s.get("Parser").flatMap(parsers.get) match {
-            case Some(p) => ParserFilter.flatten("line", p)(df)
-            case None    => df
+            case Some(p) =>
+              val parsed = ParserFilter.flatten("line", p)(df)
+              // same ts stamping as tail+Parser — throttle/flowcounter
+              // must behave identically over either input
+              if (p.timeKey.isDefined && p.timeFormat.isDefined)
+                parsed.withColumn("ts", p.eventTime(col("line")))
+              else parsed
+            case None => df
           }
         case other =>
           throw new IllegalArgumentException(s"unsupported input $other")

@@ -21,15 +21,18 @@ object HeadSource {
     * reader, decoded to a string.
     */
   def apply(spark: SparkSession, pathGlob: String, tagPattern: String = "*",
-            lines: Int = 0, bytes: Long = 0, key: String = "head",
+            lines: Int = 0, bytes: Long = 256, key: String = "head",
             addPath: Boolean = false): DataFrame = {
+    require(lines > 0 || bytes > 0,
+      "head input needs lines > 0 or bytes > 0 (reference default: 256-byte buffer)")
     val base =
       if (lines > 0)
         spark.read.option("wholetext", "true").text(pathGlob)
           .select(input_file_name().as("file"),
-            // strip ONE trailing newline before splitting: a final "\n"
-            // would otherwise contribute a phantom empty line
-            concat_ws("\n", slice(split(regexp_replace(col("value"), "\n$", ""), "\n"),
+            // strip ONE trailing newline before splitting ("\n\\z", not
+            // "\n$" — Java $ also matches BEFORE a final terminator and
+            // would eat a trailing blank line too)
+            concat_ws("\n", slice(split(regexp_replace(col("value"), "\n\\z", ""), "\n"),
               1, lines)).as(key))
       else
         spark.read.format("binaryFile").load(pathGlob)
@@ -44,7 +47,7 @@ object HeadSource {
     */
   def splitLines(spark: SparkSession, pathGlob: String, tagPattern: String = "*",
                  lines: Int = 10, addPath: Boolean = false): DataFrame = {
-    val ls = slice(split(regexp_replace(col("value"), "\n$", ""), "\n"), 1, lines)
+    val ls = slice(split(regexp_replace(col("value"), "\n\\z", ""), "\n"), 1, lines)
     val rec0 = map_from_arrays(
       transform(sequence(lit(0), size(ls) - 1), i => concat(lit("line"), i)), ls)
     val rec = if (addPath) map_concat(map(lit("path"), col("file")), rec0) else rec0

@@ -101,6 +101,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(lines.exists(_.contains("BroadcastHashJoin")), lines.mkString("\n"))
   }
 
+  test("lastBeforeBroadcast on INTEGRAL µs-count ts columns ≡ lastBefore (no seconds-cast overflow)") {
+    // epoch-µs longs: cast(long as timestamp) would read these as SECONDS
+    // and overflow — integral ts must be compared raw
+    val base = 1723000000000000L
+    val events = Seq((1L, base + 100L, 10L), (1L, base + 250L, 11L), (2L, base + 50L, 20L))
+      .toDF("k", "tus", "event_id")
+    val dims = Seq((1L, base + 100L, 7L), (1L, base + 200L, 8L), (2L, base + 999L, 9L))
+      .toDF("k", "tus_d", "v")
+    val viaSort = AsOfJoin.lastBefore(events, "k", "tus", dims, "k", "tus_d", "v")
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toMap
+    val viaBcast = AsOfJoin.lastBeforeBroadcast(events, "k", "tus", dims, "k", "tus_d", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(viaBcast == Map(10L -> Some(7L), 11L -> Some(8L), 20L -> None))
+    assert(viaBcast == viaSort)
+  }
+
   test("one exchange per input side (sort-based, no per-event probe)") {
     val events = spark.range(0, 1000).select(
       (col("id") % 7).as("k"), timestamp_micros(col("id") * 1000000L).as("ts"),

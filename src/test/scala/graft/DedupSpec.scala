@@ -123,6 +123,14 @@ class DedupSpec extends AnyFunSuite {
     // empty input → empty labels (no crash on the fixpoint probe)
     assert(Dedup.connectedComponentsStar(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
+    // a node whose ONLY pair is a self-loop stays a singleton component
+    // (canon's u≠v filter must not lose it — parity with the propagation
+    // variant, which keeps (9,9) through its symmetric-union distinct)
+    val selfy = Seq((1L, 2L), (9L, 9L)).toDF("a", "b")
+    val lbl = Dedup.connectedComponentsStar(selfy, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+    assert(lbl == Dedup.connectedComponents(selfy, "a", "b").as[(Long, Long)].collect().toMap)
   }
 
   test("decontamination: twins of benchmark docs flagged; corpus side joins via broadcast") {

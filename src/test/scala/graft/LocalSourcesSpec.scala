@@ -29,6 +29,21 @@ class LocalSourcesSpec extends AnyFunSuite {
     assert(got.values.forall(t => t.startsWith("h.") && t.endsWith(".log")))
   }
 
+  test("head strips exactly ONE trailing newline — a final blank line survives") {
+    val dir = Files.createTempDirectory("graft-headnl").toString
+    mkFile(dir, "t.log", "a\n\n") // lines: ["a", ""]
+    val got = HeadSource(spark, s"$dir/*.log", "h", lines = 2)
+      .select("head").as[String].collect()(0)
+    assert(got == "a\n")
+    // zero lines AND zero bytes rejected with a clear error
+    intercept[IllegalArgumentException](
+      HeadSource(spark, s"$dir/*.log", "h", lines = 0, bytes = 0))
+    // bare call uses the reference's 256-byte buffer default
+    val dflt = HeadSource(spark, s"$dir/*.log", "h")
+      .select("head").as[String].collect()(0)
+    assert(dflt == "a\n\n")
+  }
+
   test("head bytes mode counts BYTES; addPath appends the path (in_head.c:191-196)") {
     val dir = Files.createTempDirectory("graft-headb").toString
     mkFile(dir, "c.bin", "0123456789abcdef")

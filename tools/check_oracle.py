@@ -70,5 +70,20 @@ for name, sql in sorted(oracle.items()):
         fails += 1
         continue
     print(f"OK   {name}: {len(g)} rows")
+
+# queries without oracle SQL (non-SQL-expressible, e.g. float-mean kmeans):
+# weaker rows-only check — result parquet must exist, parse, and be non-empty
+for name in sorted(os.listdir(out_dir)):
+    path = os.path.join(out_dir, name)
+    if not os.path.isdir(path) or name in oracle:
+        continue
+    try:
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{path}/*.parquet')").fetchone()[0]
+    except Exception as e:
+        print(f"FAIL {name}: rows-only read error: {e}"); fails += 1; continue
+    if n <= 0:
+        print(f"FAIL {name}: rows-only check found 0 rows"); fails += 1; continue
+    print(f"OK   {name}: {n} rows (rows-only, no SQL oracle)")
+
 print(f"{'ALL OK' if fails == 0 else str(fails) + ' FAILURES'}")
 sys.exit(1 if fails else 0)
