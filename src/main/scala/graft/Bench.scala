@@ -58,6 +58,21 @@ object Bench {
     "events.parquet" -> "event_id",
     "orders.parquet" -> "o_orderkey")
 
+  /** Marker content = source-table fingerprint (name:size:mtime per table):
+    * regenerated sf tables invalidate the cache instead of silently timing
+    * against stale data.
+    */
+  private def scaledFingerprint(sfDir: String): String =
+    new java.io.File(sfDir).list().filter(_.endsWith(".parquet")).sorted.map { t =>
+      val f = Paths.get(sfDir, t)
+      val (sz, mt) =
+        if (Files.isDirectory(f)) {
+          val parts = Files.list(f).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          (parts.map(Files.size).sum, parts.map(p => Files.getLastModifiedTime(p).toMillis).foldLeft(0L)(math.max))
+        } else (Files.size(f), Files.getLastModifiedTime(f).toMillis)
+      s"$t:$sz:$mt"
+    }.mkString("\n")
+
   private def buildScaled(spark: SparkSession, sfDir: String, outDir: String,
                           factor: Int): Unit = {
     val tables = new java.io.File(sfDir).list().filter(_.endsWith(".parquet"))
@@ -69,11 +84,15 @@ object Bench {
             df.withColumn(id, col(id) + lit(k * 10000000L))).reduce(_ unionByName _)
         case None => df
       }
-      out.write.mode("overwrite").parquet(s"$outDir/$t")
+      // ≥32 part files per scaled table: the scaled phase measures COST
+      // CLASS vs the 1× run, so its input must not collapse into one
+      // split and serialize the run onto a single core (round-3 finding:
+      // 10 files × ~1.6 MB effective < 16 MB maxPartitionBytes = 1 task)
+      out.repartition(32).write.mode("overwrite").parquet(s"$outDir/$t")
     }
     // completion marker: an interrupted build leaves the dir without it,
     // so the next run rebuilds instead of timing against partial tables
-    Files.writeString(Paths.get(outDir, "_GRAFT_SCALED_OK"), tables.sorted.mkString("\n"))
+    Files.writeString(Paths.get(outDir, "_GRAFT_SCALED_OK"), scaledFingerprint(sfDir))
     System.err.println(s"[bench] built ${factor}x scaled tables at $outDir")
   }
 
@@ -148,14 +167,24 @@ object Bench {
     //      run per query (cold codegen included — cost class, not µ-bench).
     val scaledFactor = sys.env.getOrElse("GRAFT_BENCH_SCALED_FACTOR", "10").toInt
     val scaledDir = s"target/bench_scaled_${new java.io.File(sfDir).getName}_x$scaledFactor"
-    if (scaledFactor > 1 && !Files.exists(Paths.get(scaledDir, "_GRAFT_SCALED_OK")))
+    val markerOk = Files.exists(Paths.get(scaledDir, "_GRAFT_SCALED_OK")) &&
+      Files.readString(Paths.get(scaledDir, "_GRAFT_SCALED_OK")) == scaledFingerprint(sfDir)
+    if (scaledFactor > 1 && !markerOk)
       buildScaled(spark, sfDir, scaledDir, scaledFactor)
-    val scaledResults = if (scaledFactor <= 1) Seq.empty else
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val scaledResults = if (scaledFactor <= 1) Seq.empty else {
+      // split sizing for the scaled read: 32 part files of ~1-2 MB each
+      // must become ~32 tasks (cost-class comparison vs the 1× phase needs
+      // the same parallelism, not a single packed split)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", (256L << 10).toString)
+      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         try {
           val t0 = System.nanoTime()
           fn(spark, scaledDir).write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sys.env.contains("GRAFT_BENCH_SCALED_VERBOSE"))
+            System.err.println(f"[bench] scaled $name: $sec%.2f s")
+          name -> sec
         } catch {
           case e: Throwable =>
             errors(s"${name}@x$scaledFactor") =
@@ -164,6 +193,21 @@ object Bench {
             name -> -1.0
         }
       }
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      r
+    }
+    // dev knob: stop after the scaled phase (outlier diagnosis loop)
+    if (sys.env.get("GRAFT_BENCH_SCALED_ONLY").contains("1")) {
+      spark.stop()
+      val growth = scaledResults.flatMap { case (k, sv) =>
+        results.find(_._1 == k).collect { case (_, bv) if bv > 0 && sv > 0 =>
+          "\"" + k + "\":" + f"${sv / bv}%.1f" }
+      }.mkString("{", ",", "}")
+      val qsS = scaledResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"metric":"scaled_only","scaled_total_sec":${scaledResults.map(_._2).filter(_ > 0).sum},"queries_scaled":$qsS,"growth":$growth}""")
+      if (errors.nonEmpty) sys.exit(1) else return
+    }
     spark.stop()
 
     // ---- phase 2: throughput + scaling, N vs 4N cores, identical input,

@@ -112,15 +112,19 @@ object SparkEntry {
     //    each over a deterministic fixture line; the oracle reconstructs
     //    the expected fields ARITHMETICALLY — see Fixtures)
     "fb_parse_nginx" -> ((s, dir) => {
+      // ONE regex match per row: keep the time group in the parse struct
+      // (timeKeep) and derive the event time from the already-parsed field
+      // — the eventTime(raw) form would run the full pattern a second time
+      val p = Parsers.nginx.copy(timeKeep = true)
       val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.nginxLine)
-      f.withColumn("p", Parsers.nginx.parsed(col("raw")))
+      f.withColumn("p", p.parsed(col("raw")))
         .select(col("seq"),
           col("p.remote").as("remote"), col("p.host").as("host"),
           col("p.user").as("usr"), col("p.method").as("method"),
           col("p.path").as("path"), col("p.code").as("code"),
           col("p.size").as("size"), col("p.referer").as("referer"),
           col("p.agent").as("agent"),
-          unix_timestamp(Parsers.nginx.eventTime(col("raw"))).as("tsec"))
+          unix_timestamp(p.eventTimeFrom(col("p"))).as("tsec"))
     }),
 
     "fb_parse_apache2" -> ((s, dir) => {
@@ -150,7 +154,8 @@ object SparkEntry {
         .select(col("seq"),
           col("p.time").as("time"), col("p.level").as("level"),
           col("p.msg").as("msg"),
-          unix_micros(Parsers.dockerDaemon.eventTime(col("raw"))).as("tus"))
+          // time derived from the kept field — one regex match per row
+          unix_micros(Parsers.dockerDaemon.eventTimeFrom(col("p"))).as("tus"))
     }),
 
     // slash-wrapped regex + no-year time (pinned ref-year injection)
@@ -161,7 +166,7 @@ object SparkEntry {
           col("p.pri").as("pri"), col("p.time").as("time"),
           col("p.host").as("host"), col("p.ident").as("ident"),
           col("p.pid").as("pid"), col("p.message").as("message"),
-          unix_timestamp(Parsers.syslogRfc3164.eventTime(col("raw"))).as("tsec"))
+          unix_timestamp(Parsers.syslogRfc3164.eventTimeFrom(col("p"))).as("tsec"))
     }),
 
     // lazy message + optional trailing `<ms>ms` suffix
@@ -172,19 +177,22 @@ object SparkEntry {
           col("p.time").as("time"), col("p.severity").as("severity"),
           col("p.component").as("component"), col("p.context").as("context"),
           col("p.message").as("message"), col("p.ms").as("ms"),
-          unix_micros(Parsers.mongodb.eventTime(col("raw"))).as("tus"))
+          unix_micros(Parsers.mongodb.eventTimeFrom(col("p"))).as("tus"))
     }),
 
     // generic json parser: schema-on-read projection + time-key removal
     "fb_parse_json" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val p = Parsers.jsonGeneric.copy(jsonSchema = Some(StructType(Seq(
+      // timeKeep keeps the time field in the ONE from_json struct; tsec is
+      // derived from it — the eventTime(raw) form would re-parse the whole
+      // JSON per row via get_json_object (round-3 10×-phase outlier)
+      val p = Parsers.jsonGeneric.copy(timeKeep = true, jsonSchema = Some(StructType(Seq(
         StructField("k", LongType), StructField("name", StringType),
         StructField("time", StringType)))))
       val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.jsonLine)
       f.withColumn("p", p.parsed(col("raw")))
         .select(col("seq"), col("p.k").as("k"), col("p.name").as("name"),
-          unix_timestamp(p.eventTime(col("raw"))).as("tsec"))
+          unix_timestamp(p.eventTimeFrom(col("p"))).as("tsec"))
     }),
 
     // underscore group names sanitized for java.util.regex, restored on out
@@ -713,12 +721,27 @@ object SparkEntry {
           lower(hex(col("frame"))).as("frame_hex"))
     }),
 
-    // -- ES Generate_ID: murmur3_x64_128(seed 42) over the msgpack of the
-    //    dot-sanitized record (es.c:283-287) — idempotent-upsert doc ids.
-    //    Oracle = byte-exact fixture VALUES produced by COMPILING the
-    //    reference's vendored murmur3.c on the same msgpack bytes (whose
-    //    layout fb_forward_frame already proves against DuckDB-built hex)
+    // -- ES Generate_ID, WIRE-COMPATIBLE (es.c:229-287): the hash input is
+    //    the reference's full per-record buffer — map(size+1) with the
+    //    @timestamp entry (strftime + unpadded ".<ms>Z") packed BEFORE the
+    //    dot-sanitized content. Oracle = byte-exact fixture VALUES produced
+    //    by COMPILING the reference's vendored murmur3.c over that exact
+    //    buffer layout, so these ids equal what a reference es output with
+    //    Generate_ID On emits for the same record + timestamp
     "fb_es_id" -> ((s, dir) => {
+      Fixtures.seqs(s, dir).filter(col("seq") < 16)
+        .select(col("seq"),
+          graft.functions.EsIdFunctions.esIdWithTime(
+            map(lit("log.level"), (col("seq") % 6).cast("string"),
+              lit("msg"), concat(lit("m "), col("seq").cast("string"))),
+            lit(TokenTable.BaseEpoch) + col("seq") % 3600,
+            col("seq") % 1000).as("es_id"))
+    }),
+
+    // -- ES id, content-only variant (no injected time key): deterministic
+    //    per record content — the dedup-friendly form; fixtures likewise
+    //    pinned via the compiled reference murmur3.c
+    "fb_es_id_content" -> ((s, dir) => {
       Fixtures.seqs(s, dir).filter(col("seq") < 16)
         .select(col("seq"),
           graft.functions.EsIdFunctions.esId(
@@ -1338,6 +1361,32 @@ object SparkEntry {
          FROM documents""",
 
     "fb_es_id" ->
+      """-- byte-exact fixtures from the compiled reference murmur3.c + the
+         -- es.c uuid snprintf, over the FULL Generate_ID buffer:
+         -- map(3){'@timestamp': strftime+'.msZ', 'log_level': d%6, 'msg': 'm d'}
+         -- with sec = 1500322623 + d%3600, msec = d%1000 (es.c:229-245)
+         SELECT doc_id AS seq, u AS es_id FROM documents
+         JOIN (VALUES
+           (0,  '79ca080b-73f7-3c6d-48dc-7da1a7100700'),
+           (1,  '8770d44a-405c-68a5-bd41-07583bc4e561'),
+           (2,  'a0866dd0-b159-2fd8-5645-c5b0ecba7b98'),
+           (3,  'd724109c-43c0-f1b6-ff8f-29cfee91b5f5'),
+           (4,  '50be56ec-4b17-3d45-9a2b-3166e574c4bf'),
+           (5,  '10726384-7415-dd3f-c705-cabd8f46c51d'),
+           (6,  'b26d95ad-33b2-cd73-fb84-63f2e886173b'),
+           (7,  'a6ce390f-6d06-ef5b-4e03-6bc4814b9c75'),
+           (8,  '1a0b53f8-9087-e7ef-ba06-d98bc4ced20a'),
+           (9,  '72d76f98-39ab-1f3a-4440-ae08502e91fb'),
+           (10, '3ce321fe-a881-0b39-ad34-ec9c0dfb7142'),
+           (11, '6a9a67c7-3a91-5985-39cb-b4a32b6070d2'),
+           (12, '065d67b5-9237-6376-7e91-81508b877816'),
+           (13, '777e0e98-f6e8-284f-963b-26bc63d638bc'),
+           (14, 'd9395766-cda0-6323-60c8-bb94768048aa'),
+           (15, 'ea238af8-4567-231a-dcfb-7da41910d313')
+         ) AS t(s, u) ON doc_id = CAST(s AS BIGINT)
+         WHERE doc_id < 16""",
+
+    "fb_es_id_content" ->
       """-- byte-exact fixtures from the compiled reference murmur3.c + the
          -- es.c uuid snprintf, over msgpack({'log_level': d%6, 'msg': 'm d'})
          SELECT doc_id AS seq, u AS es_id FROM documents

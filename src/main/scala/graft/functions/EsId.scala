@@ -90,12 +90,13 @@ object Murmur3 {
   }
 }
 
-/** The ES `Generate_ID` document id (`plugins/out_es/es.c:283-287`): the
-  * record is serialized to msgpack with dot-sanitized keys
-  * (`es_pack_map_content`, `es.c:40-110`: `.` → `_`), hashed with
-  * MurmurHash3_x64_128 seed 42, and formatted as a UUID-shaped hex string.
-  * Deterministic per record content → idempotent ES bulk upserts, the one
-  * es-output feature with analytics value (exactly-once writes on retry).
+/** CONTENT-ONLY ES-style document id: msgpack of the dot-sanitized record
+  * (`es_pack_map_content`, `es.c:40-110`: `.` → `_`) hashed with
+  * MurmurHash3_x64_128 seed 42, UUID-formatted like `es.c:285-286`.
+  * Deterministic per record content → idempotent upserts keyed on content
+  * alone. NOT wire-compatible with ids the reference engine emits: the
+  * reference hashes a buffer that also carries the injected time key (and
+  * tag key when enabled) — use [[EsIdWithTime]] for byte-exact parity.
   *
   * Input: `map<string,string>` record; null values pack as msgpack nil.
   */
@@ -122,7 +123,103 @@ case class EsId(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The FULL-FIDELITY ES `Generate_ID` (`plugins/out_es/es.c:229-287`):
+  * hashes exactly the buffer the reference builds per record —
+  *
+  *   map(map_size + 1 [+ 1 with tag]) {
+  *     time_key: strftime(time_key_format, gmtime(sec)) + ".<msec>Z",
+  *     [tag_key: tag,]
+  *     ...dot-sanitized record content (es_pack_map_content)...
+  *   }
+  *
+  * The msec fraction is printed UNPADDED (`".%" PRIu64 "Z"`, es.c:239-241
+  * — `.7Z`, not `.007Z`), and defaults mirror `es.h:29-30`
+  * (`@timestamp`, `%Y-%m-%dT%H:%M:%S`). MurmurHash3_x64_128 seed 42 over
+  * those bytes, UUID-formatted as eight LE uint16 words. Ids equal what a
+  * reference es output with Generate_ID On produces for the same record +
+  * timestamp (fixtures generated from the compiled vendored murmur3.c over
+  * this exact layout).
+  *
+  * strftime subset: `%Y %m %d %H %M %S %T %%` + literals — the specifiers
+  * the default and logstash-style formats use.
+  */
+case class EsIdWithTime(record: Expression, sec: Expression, msec: Expression,
+                        timeKey: String = "@timestamp",
+                        timeKeyFormat: String = "%Y-%m-%dT%H:%M:%S",
+                        tag: Option[(String, String)] = None)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def first: Expression = record
+  override def second: Expression = sec
+  override def third: Expression = msec
+
+  private def strftime(format: String, epochSec: Long): String = {
+    val t = java.time.LocalDateTime.ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC)
+    val sb = new java.lang.StringBuilder(format.length + 8)
+    var i = 0
+    while (i < format.length) {
+      val c = format.charAt(i)
+      if (c == '%' && i + 1 < format.length) {
+        format.charAt(i + 1) match {
+          case 'Y' => sb.append(t.getYear)
+          case 'm' => sb.append(f"${t.getMonthValue}%02d")
+          case 'd' => sb.append(f"${t.getDayOfMonth}%02d")
+          case 'H' => sb.append(f"${t.getHour}%02d")
+          case 'M' => sb.append(f"${t.getMinute}%02d")
+          case 'S' => sb.append(f"${t.getSecond}%02d")
+          case 'T' => sb.append(f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d")
+          case '%' => sb.append('%')
+          case o   => sb.append('%').append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def compute(mo: Any, secV: Long, msecV: Long): Any = {
+    val m = mo.asInstanceOf[MapData]
+    val out = new ByteArrayOutputStream(96)
+    val extra = 1 + (if (tag.isDefined) 1 else 0)
+    Msgpack.packMapHeader(out, m.numElements() + extra)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    Msgpack.packStr(out, timeKey.getBytes(utf8))
+    Msgpack.packStr(out, (strftime(timeKeyFormat, secV) + s".${msecV}Z").getBytes(utf8))
+    tag.foreach { case (k, v) =>
+      Msgpack.packStr(out, k.getBytes(utf8))
+      Msgpack.packStr(out, v.getBytes(utf8))
+    }
+    Msgpack.packRecordContent(out, m, keyXform = _.replace('.', '_'))
+    UTF8String.fromString(Murmur3.esUuid(out.toByteArray))
+  }
+
+  override def nullSafeEval(m: Any, s: Any, ms: Any): Any =
+    compute(m, s.asInstanceOf[Long], ms.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("esidt", this, classOf[EsIdWithTime].getName)
+    nullSafeCodeGen(ctx, ev, (m, s, ms) =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.compute($m, $s, $ms);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(record = f, sec = s, msec = t)
+}
+
 object EsIdFunctions {
-  /** Column face: deterministic ES `_id` of a map record. */
+  /** Column face: deterministic content-only `_id` of a map record. */
   def esId(record: Column): Column = GraftShim.column(EsId(GraftShim.expression(record)))
+
+  /** Column face: reference-exact Generate_ID (record + epoch sec + msec). */
+  def esIdWithTime(record: Column, sec: Column, msec: Column,
+                   timeKey: String = "@timestamp",
+                   timeKeyFormat: String = "%Y-%m-%dT%H:%M:%S",
+                   tag: Option[(String, String)] = None): Column =
+    GraftShim.column(EsIdWithTime(
+      GraftShim.expression(record),
+      GraftShim.expression(sec.cast("long")),
+      GraftShim.expression(msec.cast("long")),
+      timeKey, timeKeyFormat, tag))
 }

@@ -71,8 +71,18 @@ object Msgpack {
     */
   def packRecord(out: ByteArrayOutputStream, rec: MapData,
                  keyXform: String => String = null): Unit = {
+    packMapHeader(out, rec.numElements())
+    packRecordContent(out, rec, keyXform)
+  }
+
+  /** Record key/value pairs WITHOUT the map header — for callers that pack
+    * extra entries under one header (es.c's Generate_ID buffer packs the
+    * time key + optional tag key before the record content under a
+    * `map_size + 1 (+1)` header, es.c:229-276).
+    */
+  def packRecordContent(out: ByteArrayOutputStream, rec: MapData,
+                        keyXform: String => String = null): Unit = {
     val n = rec.numElements()
-    packMapHeader(out, n)
     val ks = rec.keyArray()
     val vs = rec.valueArray()
     var i = 0

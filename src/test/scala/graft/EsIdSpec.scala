@@ -49,6 +49,36 @@ class EsIdSpec extends AnyFunSuite {
     assert(got == "331e5784-bea2-3a7d-3cc0-0936157cbf3b")
   }
 
+  test("EsIdWithTime: the full es.c Generate_ID buffer (time key first) — reference fixtures") {
+    // the compiled reference over map(3){@timestamp: strftime+'.msZ', log_level, msg}
+    // with sec = 1500322623 + seq, msec = seq: es.c:229-245 packs the time
+    // entry BEFORE es_pack_map_content under a map_size+1 header
+    val expect = Seq(
+      0L -> "79ca080b-73f7-3c6d-48dc-7da1a7100700",
+      1L -> "8770d44a-405c-68a5-bd41-07583bc4e561",
+      5L -> "10726384-7415-dd3f-c705-cabd8f46c51d")
+    val df = expect.map(_._1).toDF("seq").select(col("seq"),
+      EsIdFunctions.esIdWithTime(
+        map(lit("log.level"), (col("seq") % 6).cast("string"),
+          lit("msg"), concat(lit("m "), col("seq").cast("string"))),
+        lit(1500322623L) + col("seq") % 3600,
+        col("seq") % 1000).as("id"))
+    val got = df.as[(Long, String)].collect().toMap
+    expect.foreach { case (s, u) => assert(got(s) == u, s"seq $s") }
+  }
+
+  test("EsIdWithTime msec is UNPADDED and timestamp-sensitive") {
+    // es.c:239 prints '.%" PRIu64 "Z' — msec 7 → ".7Z" (NOT ".007Z");
+    // same record at different times must hash differently
+    val rec = map(lit("k"), lit("v"))
+    val r = Seq(1).toDF("i").select(
+      EsIdFunctions.esIdWithTime(rec, lit(100L), lit(7L)).as("a"),
+      EsIdFunctions.esIdWithTime(rec, lit(100L), lit(70L)).as("b"),
+      EsIdFunctions.esIdWithTime(rec, lit(101L), lit(7L)).as("c"))
+      .as[(String, String, String)].collect()(0)
+    assert(r._1 != r._2 && r._1 != r._3 && r._2 != r._3)
+  }
+
   test("EsId is deterministic and content-sensitive (idempotent upsert key)") {
     val df = Seq(("a", "1"), ("a", "1"), ("a", "2")).toDF("k", "v")
       .select(EsIdFunctions.esId(map(col("k"), col("v"))).as("id"))

@@ -59,4 +59,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(scan.contains("struct<doc_id:bigint>"), scan)
   }
+
+  test("multiline assembly: ONE exchange — the record groupBy reuses the window's partitioning") {
+    // groupBy(file, _rec) requires ClusteredDistribution(file, _rec), which
+    // HashPartitioning(file) from the window pass already satisfies — a
+    // second hash exchange on (file, rec) would double the shuffled volume
+    // of the raw line stream at log scale (round-3 review item)
+    val q = SparkEntry.queries("fb_multiline")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val sections = plan.split("== Initial Plan ==")
+    sections.foreach { s =>
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+      assert(shuffles == 1, s"expected 1 shuffle, saw $shuffles in:\n$s")
+    }
+  }
 }
