@@ -13,10 +13,10 @@ import graft.sources.{Fixtures, TokenTable}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every `queries` entry except `sim_kmeans_cells` has a DuckDB-executable
-  * oracle in [[oracleSql]] built over the SAME parquet tables (that one is
-  * rows-only by design: per-cell float MEANS are parallel sums, not
-  * bit-reproducible across engines — KMeansSpec pins its semantics);
+  * EVERY `queries` entry has a DuckDB-executable oracle in [[oracleSql]]
+  * built over the SAME parquet tables (k-means included: training runs on
+  * integer-quantized vectors so the oracle re-runs the full unrolled Lloyd
+  * bit-exactly; the float-mean variant stays spec-pinned in KMeansSpec);
   * the token-sequence pipeline queries derive the BASELINE-shape input
   * deterministically from `documents` ([[TokenTable]]) so both engines
   * compute over identical rows.
@@ -199,6 +199,53 @@ object SparkEntry {
     "fb_parse_kube_test" -> ((s, dir) => {
       val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.kubeTestTag)
       f.withColumn("p", Parsers.filterKubeTest.parsed(col("raw")))
+        .select(col("seq"),
+          col("p.pod_name").as("pod_name"),
+          col("p.namespace_name").as("namespace_name"),
+          col("p.container_name").as("container_name"),
+          col("p.docker_id").as("docker_id"))
+    }),
+
+    // rfc5424: structured-data alternation + %L time; pri stays a string
+    // (the shipped definition has no Types line)
+    "fb_parse_rfc5424" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.rfc5424Line)
+      f.withColumn("p", Parsers.syslogRfc5424.parsed(col("raw")))
+        .select(col("seq"),
+          col("p.pri").as("pri"), col("p.time").as("time"),
+          col("p.host").as("host"), col("p.ident").as("ident"),
+          col("p.pid").as("pid"), col("p.msgid").as("msgid"),
+          col("p.extradata").as("extradata"), col("p.message").as("message"),
+          unix_micros(Parsers.syslogRfc5424.eventTimeFrom(col("p"))).as("tus"))
+    }),
+
+    // rfc3164-local: no host group, no-year time (ref-year injection)
+    "fb_parse_rfc3164_local" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.rfc3164LocalLine)
+      f.withColumn("p", Parsers.syslogRfc3164Local.parsed(col("raw")))
+        .select(col("seq"),
+          col("p.pri").as("pri"), col("p.time").as("time"),
+          col("p.ident").as("ident"), col("p.pid").as("pid"),
+          col("p.message").as("message"),
+          unix_timestamp(Parsers.syslogRfc3164Local.eventTimeFrom(col("p"))).as("tsec"))
+    }),
+
+    // docker: json parse + the DECLARED `Decode_Field_As escaped log` rule
+    // applied through ParserFilter.flatten (double-escaped log content
+    // resolves to real quotes/newlines); oracle reconstructs the decoded
+    // string arithmetically — no JSON machinery on the DuckDB side
+    "fb_parse_docker" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.dockerJsonLine)
+      ParserFilter.flatten("raw", Parsers.docker)(f)
+        .select(col("seq"), col("log"), col("stream"), col("time"),
+          unix_micros(graft.core.TimeParse.parse(
+            col("time"), "%Y-%m-%dT%H:%M:%S.%L", 0)).as("tus"))
+    }),
+
+    // kube-custom: the in_tail container-path tag shape (no `.*` prefix)
+    "fb_parse_kube_custom" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("raw", Fixtures.kubeCustomTag)
+      f.withColumn("p", Parsers.kubeTag.parsed(col("raw")))
         .select(col("seq"),
           col("p.pod_name").as("pod_name"),
           col("p.namespace_name").as("namespace_name"),
@@ -519,15 +566,22 @@ object SparkEntry {
         .select(col("vec_id"), col("cell"))
     }),
 
-    // -- k-means-trained IVF: 8 centroids, 2 Lloyd iterations, then the
-    //    narrow cell assignment. Rows-only check: per-cell float MEANS are
-    //    parallel sums (not bit-reproducible across engines) — KMeansSpec
-    //    pins determinism, SSE descent, and blob recovery instead
+    // -- k-means-trained IVF: 8 centroids, 2 Lloyd iterations over
+    //    INTEGER-QUANTIZED vectors (half-up floor ×1000 + offset — the
+    //    same portable-arithmetic trick as sim_quantize), then the narrow
+    //    cell assignment. Integer sums + floor-division means make every
+    //    step bit-reproducible, so the DuckDB oracle re-runs the FULL
+    //    unrolled Lloyd independently — centroids AND assignments match
+    //    exactly (kills round-3's one no_oracle row; the float-mean
+    //    variant KMeans.fit stays spec-pinned in KMeansSpec)
     "sim_kmeans_cells" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val cents = graft.operators.KMeans.fit(e, "vec_id", "embedding", 8, 2)
-      Similarity.ivfAssign(e.select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", cents)
+      val q = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000d + 0.5d) + 1000L).as("qv"))
+      val cents = graft.operators.KMeans.fitInt(q, "vec_id", "qv", 8, 2)
+      Similarity.ivfAssign(q, "vec_id", "qv",
+          cents.select(col("cent_id"), col("qvec").cast("array<double>").as("cvec")))
         .select(col("vec_id"), col("cell"))
     }),
 
@@ -941,6 +995,47 @@ object SparkEntry {
             ${Fixtures.duckdbHex64} AS docker_id
           FROM documents""",
 
+    "fb_parse_rfc5424" ->
+      s"""SELECT doc_id AS seq,
+            CAST(doc_id % 192 AS VARCHAR) AS pri,
+            concat('2017-07-17T20:17:03.', ${Fixtures.duckdbMs3}) AS time,
+            concat('host-', CAST(doc_id % 50 AS VARCHAR)) AS host,
+            concat('app', CAST(doc_id % 20 AS VARCHAR)) AS ident,
+            CAST(doc_id % 999 AS VARCHAR) AS pid,
+            concat('mid', CAST(doc_id % 7 AS VARCHAR)) AS msgid,
+            CASE WHEN doc_id % 2 = 0
+                 THEN concat('[id ', CAST(doc_id % 10 AS VARCHAR), ']')
+                 ELSE '-' END AS extradata,
+            concat('message ', CAST(doc_id AS VARCHAR)) AS message,
+            CAST(1500322623000000 + (doc_id % 1000) * 1000 AS BIGINT) AS tus
+          FROM documents""",
+
+    "fb_parse_rfc3164_local" ->
+      s"""SELECT doc_id AS seq,
+            CAST(doc_id % 192 AS VARCHAR) AS pri,
+            concat('Jul 17 20:17:', ${Fixtures.duckdbSs}) AS time,
+            concat('app', CAST(doc_id % 20 AS VARCHAR)) AS ident,
+            CAST(doc_id % 999 AS VARCHAR) AS pid,
+            concat('message ', CAST(doc_id AS VARCHAR)) AS message,
+            CAST(1500322620 + doc_id % 60 AS BIGINT) AS tsec
+          FROM documents""",
+
+    "fb_parse_docker" ->
+      s"""SELECT doc_id AS seq,
+            concat('m "q" ', CAST(doc_id AS VARCHAR), chr(10), 'end') AS log,
+            'stdout' AS stream,
+            concat('2017-07-17T20:17:03.', ${Fixtures.duckdbMs3}) AS time,
+            CAST(1500322623000000 + (doc_id % 1000) * 1000 AS BIGINT) AS tus
+          FROM documents""",
+
+    "fb_parse_kube_custom" ->
+      s"""SELECT doc_id AS seq,
+            concat('web-', CAST(doc_id % 10 AS VARCHAR)) AS pod_name,
+            concat('ns', CAST(doc_id % 5 AS VARCHAR)) AS namespace_name,
+            'nginx' AS container_name,
+            ${Fixtures.duckdbHex64} AS docker_id
+          FROM documents""",
+
     "fb_parse_types" ->
       """SELECT doc_id AS seq,
            CAST(doc_id AS DOUBLE) + 0.25 AS v,
@@ -1183,6 +1278,58 @@ object SparkEntry {
            SELECT vec_id, cent_id AS cell,
                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
            FROM d) WHERE rn = 1""",
+
+    "sim_kmeans_cells" ->
+      """-- full unrolled Lloyd (k=8, 2 iterations) over integer-quantized
+         -- vectors: every step (half-up-floor quantize, integer L2 argmin
+         -- with smallest-id ties, integer-sum floor-division means, empty
+         -- cells keep their centroid) is bit-reproducible — an INDEPENDENT
+         -- re-run of the training, not a copy of intermediate state
+         WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT) + 1000) AS v
+           FROM embeddings),
+         dims AS (SELECT unnest(range(1, (SELECT len(v) FROM q LIMIT 1) + 1)) AS i),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cent_id, v AS cv
+           FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT q.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.v)+1),
+                   i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))), c.cent_id) AS rn
+             FROM q CROSS JOIN c0 c) WHERE rn = 1),
+         m1 AS (
+           SELECT cell AS cent_id, list(s ORDER BY i) AS cv FROM (
+             SELECT a1.cell, d.i, CAST(sum(q.v[d.i]) // count(*) AS BIGINT) AS s
+             FROM a1 JOIN q USING (vec_id) CROSS JOIN dims d
+             GROUP BY a1.cell, d.i) GROUP BY cell),
+         c1 AS (SELECT c0.cent_id, coalesce(m1.cv, c0.cv) AS cv
+                FROM c0 LEFT JOIN m1 USING (cent_id)),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT q.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.v)+1),
+                   i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))), c.cent_id) AS rn
+             FROM q CROSS JOIN c1 c) WHERE rn = 1),
+         m2 AS (
+           SELECT cell AS cent_id, list(s ORDER BY i) AS cv FROM (
+             SELECT a2.cell, d.i, CAST(sum(q.v[d.i]) // count(*) AS BIGINT) AS s
+             FROM a2 JOIN q USING (vec_id) CROSS JOIN dims d
+             GROUP BY a2.cell, d.i) GROUP BY cell),
+         c2 AS (SELECT c1.cent_id, coalesce(m2.cv, c1.cv) AS cv
+                FROM c1 LEFT JOIN m2 USING (cent_id)),
+         a3 AS (
+           SELECT vec_id, cell FROM (
+             SELECT q.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.v)+1),
+                   i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))), c.cent_id) AS rn
+             FROM q CROSS JOIN c2 c) WHERE rn = 1)
+         SELECT vec_id, cell FROM a3""",
 
     "dedup_embed_pairs" ->
       """WITH b AS (

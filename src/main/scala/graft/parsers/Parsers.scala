@@ -160,8 +160,9 @@ object Parsers {
     regex = "^\\<(?<pri>[0-9]{1,5})\\>1 (?<time>[^ ]+) (?<host>[^ ]+) (?<ident>[^ ]+) (?<pid>[-0-9]+) (?<msgid>[^ ]+) (?<extradata>(\\[(.*)\\]|-)) (?<message>.+)$",
     timeKey = Some("time"),
     timeFormat = Some("%Y-%m-%dT%H:%M:%S.%L"),
-    timeKeep = true,
-    types = Map("pri" -> "integer")
+    timeKeep = true
+    // NO Types line in the shipped definition (conf/parsers.conf:52-58) —
+    // pri stays a string, matching the reference's untyped regex output
   )
 
   // conf/parsers.conf:59-66 — NO-YEAR time format (pinned ref-year applies)

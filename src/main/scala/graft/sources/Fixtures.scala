@@ -111,6 +111,50 @@ object Fixtures {
     lit("\\\", \\\"msg\\\": \\\"m "), seq.cast("string"),
     lit("\\\"}"))
 
+  /** syslog-rfc5424 line (conf/parsers.conf:52-58); %L millis, structured
+    * data alternates `[id N]` / `-`.
+    */
+  def rfc5424Line: Column = concat(
+    lit("<"), (seq % 192).cast("string"),
+    lit(">1 2017-07-17T20:17:03."), pad(seq % 1000, 3),
+    lit(" host-"), (seq % 50).cast("string"),
+    lit(" app"), (seq % 20).cast("string"),
+    lit(" "), (seq % 999).cast("string"),
+    lit(" mid"), (seq % 7).cast("string"),
+    when(seq % 2 === 0, concat(lit(" [id "), (seq % 10).cast("string"), lit("]")))
+      .otherwise(lit(" -")),
+    lit(" message "), seq.cast("string"))
+
+  /** syslog-rfc3164-local line (conf/parsers.conf:59-66) — no host group,
+    * no-year time (pinned ref-year injection).
+    */
+  def rfc3164LocalLine: Column = concat(
+    lit("<"), (seq % 192).cast("string"),
+    lit(">Jul 17 20:17:"), pad(seq % 60, 2),
+    lit(" app"), (seq % 20).cast("string"),
+    lit("["), (seq % 999).cast("string"),
+    lit("]: message "), seq.cast("string"))
+
+  /** docker json-file line (conf/parsers.conf:33-41): the `log` value
+    * carries DOUBLE-escaped content (literal `\"` / `\n` sequences after
+    * the outer JSON parse) which the declared `Decode_Field_As escaped
+    * log` rule resolves to real quotes/newlines.
+    */
+  def dockerJsonLine: Column = concat(
+    lit("{\"log\": \"m \\\\\\\"q\\\\\\\" "), seq.cast("string"),
+    lit("\\\\nend\", \"stream\": \"stdout\", \"time\": \"2017-07-17T20:17:03."),
+    pad(seq % 1000, 3), lit("\"}"))
+
+  /** kube-custom tag (conf/parsers.conf:89-91): the in_tail path shape
+    * `var.log.containers.<pod>_<ns>_<container>-<docker_id>.log`.
+    */
+  def kubeCustomTag: Column = concat(
+    lit("var.log.containers.web-"), (seq % 10).cast("string"),
+    lit("_ns"), (seq % 5).cast("string"),
+    lit("_nginx-"),
+    lpad(lower(hex((seq * 2654435761L) % 1152921504606846976L)), 64, "0"),
+    lit(".log"))
+
   /** key=value line exercising the float/hex/bool `Types` casts
     * (flb_parser.c:301-353).
     */

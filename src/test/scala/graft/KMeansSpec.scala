@@ -57,6 +57,31 @@ class KMeansSpec extends AnyFunSuite {
     c.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("fitInt: integer Lloyd recovers blobs, floor-division means, bit-stable across runs") {
+    // quantize the float blobs like sim_kmeans_cells: half-up floor ×1000
+    // + offset so every value is non-negative (floor contract)
+    val df = blobs.toDF("vec_id", "embedding").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000d + 0.5d) + 20000L).as("qv"))
+    val cents = KMeans.fitInt(df, "vec_id", "qv", 2, 3)
+    val assign = Similarity.ivfAssign(
+        df, "vec_id", "qv",
+        cents.select(col("cent_id"), col("qvec").cast("array<double>").as("cvec")))
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    val evenCells = assign.filter(_._1 % 2 == 0).values.toSet
+    val oddCells = assign.filter(_._1 % 2 == 1).values.toSet
+    assert(evenCells.size == 1 && oddCells.size == 1 && evenCells != oddCells)
+    // bit-stable: integer sums + floor-division means leave NO float
+    // nondeterminism — a second fit yields IDENTICAL centroids
+    val c1 = cents.orderBy("cent_id").select("qvec").as[Seq[Long]].collect().toSeq
+    val c2 = KMeans.fitInt(df, "vec_id", "qv", 2, 3)
+      .orderBy("cent_id").select("qvec").as[Seq[Long]].collect().toSeq
+    assert(c1 == c2)
+    // centroid components are exact floor-division means: blob +10 →
+    // values near 30000+200 window, all within the jitter span
+    assert(c1.forall(_.forall(v => v > 9000 && v < 31000)))
+  }
+
   test("duplicate seed vectors: the shadowed cell stays on its seed (no crash, no NaN)") {
     // ids 0 and 1 share a vector → ties go to cent 0, cell 1 gets no members
     val df = (Seq((0L, Seq(5f, 5f)), (1L, Seq(5f, 5f))) ++

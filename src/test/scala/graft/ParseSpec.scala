@@ -56,7 +56,8 @@ class ParseSpec extends AnyFunSuite {
     val line = """<34>1 2017-07-17T20:17:03.000 host app 1234 ID47 - hello world"""
     val p = Parsers.syslogRfc5424
     val row = Seq(line).toDF("raw").select(p.parsed(col("raw")).as("p")).select("p.*").collect()(0)
-    assert(row.getAs[Long]("pri") == 34L)
+    // the shipped conf has no Types line → pri stays a string (fidelity)
+    assert(row.getAs[String]("pri") == "34")
     assert(row.getAs[String]("message") == "hello world")
     assert(row.schema.fieldNames.contains("time")) // Time_Keep On
   }
