@@ -803,6 +803,29 @@ object SparkEntry {
               lit("msg"), concat(lit("m "), col("seq").cast("string")))).as("es_id"))
     }),
 
+    // -- out_file byte-exact line formats (file.c:117-229): the line column
+    //    carries the exact bytes the reference appends per record (minus
+    //    the trailing newline the text writer adds). Values cover every
+    //    msgpack_object_print / msgpack2json branch: quoted string (nil
+    //    every 7th row), integer, %f double, boolean
+    "fb_file_csv" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+      f.select(col("seq"), graft.sinks.FileFormat
+        .csvLine(f, "sec", "nsec", Seq("msg", "code", "ratio", "ok")).as("line"))
+    }),
+
+    "fb_file_ltsv" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+      f.select(col("seq"), graft.sinks.FileFormat
+        .ltsvLine(f, "sec", "nsec", Seq("msg", "code", "ratio", "ok")).as("line"))
+    }),
+
+    "fb_file_json" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+      f.select(col("seq"), graft.sinks.FileFormat
+        .jsonLine(f, "tag", "sec", "nsec", Seq("msg", "code", "ratio", "ok")).as("line"))
+    }),
+
     // -- ns-fidelity time envelope (struct flb_time): 9-digit %L fractions
     //    kept at ns resolution, µs timestamp derived for windowing
     "fb_time_ns" -> ((s, dir) => {
@@ -1556,6 +1579,70 @@ object SparkEntry {
            (15, 'fc2d769f-cda0-4526-6442-7c290da60466')
          ) AS t(s, u) ON doc_id = CAST(s AS BIGINT)
          WHERE doc_id < 16""",
+
+    "fb_file_csv" ->
+      """-- out_file csv bytes (file.c:117-138): %f time then raw-quoted
+         -- values, comma-joined; nil for msgpack NIL
+         WITH r AS (
+           SELECT doc_id AS seq,
+             printf('%f', (1500322623 + doc_id % 3600)
+                          + ((doc_id * 997) % 1000000) * 1000 / 1000000000.0) AS t,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS msg,
+             CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
+             printf('%f', (doc_id % 89) / 8.0) AS ratio,
+             CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END AS ok
+           FROM documents)
+         SELECT seq,
+           t || ',' || coalesce('"' || msg || '"', 'nil') || ',' || code
+             || ',' || ratio || ',' || ok AS line
+         FROM r""",
+
+    "fb_file_ltsv" ->
+      """-- out_file ltsv bytes (file.c:140-168): "time":%f then "key":value
+         -- pairs, tab-joined — keys are msgpack_object_print'd too, hence
+         -- quoted
+         WITH r AS (
+           SELECT doc_id AS seq,
+             printf('%f', (1500322623 + doc_id % 3600)
+                          + ((doc_id * 997) % 1000000) * 1000 / 1000000000.0) AS t,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS msg,
+             CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
+             printf('%f', (doc_id % 89) / 8.0) AS ratio,
+             CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END AS ok
+           FROM documents)
+         SELECT seq,
+           '"time":' || t || chr(9)
+             || '"msg":' || coalesce('"' || msg || '"', 'nil') || chr(9)
+             || '"code":' || code || chr(9)
+             || '"ratio":' || ratio || chr(9)
+             || '"ok":' || ok AS line
+         FROM r""",
+
+    "fb_file_json" ->
+      """-- out_file json bytes (file.c:216-229 + flb_pack.c:354-490):
+         -- 'tag: [%f, {map}]', ':' between key/value, ', ' between pairs,
+         -- null for msgpack NIL (fixture strings are ASCII-clean so the
+         -- flb_utils_write_str escape is the identity; FileFormatSpec pins
+         -- the full escape table)
+         WITH r AS (
+           SELECT doc_id AS seq,
+             printf('%f', (1500322623 + doc_id % 3600)
+                          + ((doc_id * 997) % 1000000) * 1000 / 1000000000.0) AS t,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS msg,
+             CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
+             printf('%f', (doc_id % 89) / 8.0) AS ratio,
+             CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END AS ok
+           FROM documents)
+         SELECT seq,
+           'app.log: [' || t || ', {'
+             || '"msg":' || coalesce('"' || msg || '"', 'null') || ', '
+             || '"code":' || code || ', '
+             || '"ratio":' || ratio || ', '
+             || '"ok":' || ok || '}]' AS line
+         FROM r""",
 
     "fb_time_ns" ->
       """SELECT doc_id AS seq,

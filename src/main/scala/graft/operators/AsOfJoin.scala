@@ -133,9 +133,20 @@ object AsOfJoin {
     require(!valCols.exists(events.columns.contains),
       s"events already carry ${valCols.filter(events.columns.contains).mkString(",")} — " +
         "alias the dim values")
-    val timeline: Map[Long, Array[Long]] = dims
+    // the whole dim timeline becomes a plan literal — guard the driver and
+    // the serialized-plan size like a broadcast threshold would, and drop
+    // null keys/timestamps up front (they can never as-of-match an event;
+    // unfiltered they would NPE getLong below)
+    val maxTimelineRows = 1 << 20
+    val dimRows = dims
       .select(col(dKey).cast("long"), tsOrdinal(dims, dTs))
+      .filter(col(dKey).isNotNull && tsOrdinal(dims, dTs).isNotNull)
+      .limit(maxTimelineRows + 1)
       .collect()
+    require(dimRows.length <= maxTimelineRows,
+      s"lastBeforeBroadcast: dim side exceeds $maxTimelineRows rows — too " +
+        "large to embed in the plan; use lastBefore/lastBeforeScalable")
+    val timeline: Map[Long, Array[Long]] = dimRows
       .groupBy(_.getLong(0))
       .map { case (k, rows) => k -> rows.map(_.getLong(1)).distinct.sorted }
     val matched = events.withColumn("_dim_ts_us",

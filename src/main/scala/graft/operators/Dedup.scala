@@ -239,8 +239,13 @@ object Dedup {
 
     var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))).localCheckpoint()
+    // change detection: (count, Σ xxhash64(u,v)) — order-independent and
+    // collision-resistant where the old (count, Σu, Σv) triple let distinct
+    // edge sets alias (e.g. {(5,1),(4,2)} vs {(4,1),(5,2)}); decimal(38)
+    // sum keeps the aggregate exact under ANSI (long sum would overflow)
     def sigOf(e: DataFrame) =
-      e.agg(count(lit(1)), sum(col("u")), sum(col("v"))).collect()(0)
+      e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
     var sig = sigOf(edges)
     var converged = false
     var i = 0
@@ -251,6 +256,11 @@ object Dedup {
       sig = s
       i += 1
     }
+    // a non-fixpoint edge set is NOT a star forest — labels would be wrong;
+    // fail loudly instead of silently emitting them
+    require(converged,
+      s"connectedComponentsStar did not converge within $maxIter rounds — " +
+        "raise maxIter (rounds needed ≈ log₂ of the max component diameter)")
     // fixpoint = stars: non-roots point straight at their component min;
     // roots never appear on the left side
     val labels = edges.select(col("u").as("id"), col("v").as("comp"))

@@ -42,6 +42,33 @@ import graft.sources.TailSource
   */
 object ConfPipeline {
 
+  /** Size values with optional binary-ish suffix, exactly
+    * `flb_utils_size_to_bytes` (`src/flb_utils.c:312-376`): suffix is the
+    * 1–2 trailing non-digits, case-insensitive K/M/G (×1000 each — the
+    * reference uses DECIMAL multipliers) with optional trailing B; any
+    * other suffix is an error (the reference returns -1; a descriptive
+    * throw is this port's error channel).
+    */
+  def sizeToBytes(size: String): Long = {
+    val s = size.trim
+    require(s.nonEmpty, "empty size value")
+    val suffixLen = s.reverseIterator.takeWhile(!_.isDigit).length
+    if (suffixLen == 0) return s.toLong
+    require(suffixLen <= 2 && suffixLen < s.length,
+      s"invalid size value '$size' (flb_utils_size_to_bytes semantics)")
+    val suffix = s.takeRight(suffixLen).toUpperCase
+    require(suffixLen == 1 || suffix.endsWith("B"),
+      s"invalid size suffix in '$size' — two-char suffix must end in B")
+    val base = s.dropRight(suffixLen).toLong
+    suffix.charAt(0) match {
+      case 'K' => base * 1000L
+      case 'M' => base * 1000L * 1000L
+      case 'G' => base * 1000L * 1000L * 1000L
+      case _ => throw new IllegalArgumentException(
+        s"invalid size suffix in '$size' — expected K/M/G[B]")
+    }
+  }
+
   final case class OutputSpec(plugin: String, matchGlob: String,
                               options: Map[String, String])
 
@@ -91,7 +118,7 @@ object ConfPipeline {
           val tag = s.get("Tag").getOrElse("head.0")
           graft.sources.HeadSource(spark, file, tag,
             lines = s.get("Lines").map(_.toInt).getOrElse(0),
-            bytes = s.get("Buf_Size").map(_.toLong).getOrElse(256L),
+            bytes = s.get("Buf_Size").map(ConfPipeline.sizeToBytes).getOrElse(256L),
             key = "line")
         case Some("exec") =>
           val cmd = s.get("Command").getOrElse(

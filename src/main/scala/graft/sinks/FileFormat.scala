@@ -1,0 +1,123 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.FlbJsonEscape
+
+/** Byte-exact out_file line formats (reference `plugins/out_file/file.c`):
+  *
+  *   - csv  (`file.c:117-138`):  `%f` time, then each record VALUE printed
+  *     by `msgpack_object_print`, delimiter-joined (default `,`)
+  *   - ltsv (`file.c:140-168`):  `"time"<label_delim>%f<delim>` then
+  *     `key<label_delim>value` pairs — keys AND values through
+  *     `msgpack_object_print`, so both sides of a string pair are quoted
+  *   - json (`file.c:216-229`):  `tag: [%f, {json}]` where the map is
+  *     serialized by `flb_msgpack_to_json_str` (`src/flb_pack.c:354-490`)
+  *     — `":"` between key and value, `", "` between pairs, strings
+  *     escaped by [[FlbJsonEscape]]
+  *
+  * `msgpack_object_print` (`lib/msgpack-2.1.3/src/objectc.c:162-222`)
+  * quotes strings but writes their bytes RAW (fwrite, no escaping), prints
+  * integers in decimal, floats with `%f`, booleans as true/false and nil
+  * as `nil` — deliberately different from the json path, and reproduced
+  * here exactly.
+  *
+  * The time double is `flb_time_to_double` = sec + nsec/1e9 formatted with
+  * C `%f` (6 decimals). Spark's `format_string`, DuckDB's `printf` and
+  * glibc all round the same IEEE double to 6 decimals identically for
+  * µs-aligned timestamps (ties between half-up and half-even rounding
+  * would need the double to sit exactly on an odd multiple of 2⁻⁷ — an
+  * integral-µs value at epoch magnitude never lands there).
+  *
+  * Each line column EXCLUDES the trailing newline; [[writeExact]] emits it
+  * via the text writer, matching the reference's per-record `\n`.
+  */
+object FileFormat {
+
+  /** C `%f` of `flb_time_to_double(tm)` (`src/flb_time.h`). */
+  def timeDouble(sec: Column, nsec: Column): Column =
+    format_string("%f", sec.cast("double") + nsec.cast("double") / lit(1e9))
+
+  /** One value through `msgpack_object_print` (csv/ltsv path — raw quoted
+    * strings, NO escaping).
+    */
+  private def printed(c: Column, dt: DataType): Column = {
+    val r = dt match {
+      case StringType                               => concat(lit("\""), c, lit("\""))
+      case BooleanType                              => when(c, "true").otherwise("false")
+      case ByteType | ShortType | IntegerType | LongType => c.cast("string")
+      case FloatType | DoubleType                   => format_string("%f", c.cast("double"))
+      case other =>
+        throw new IllegalArgumentException(s"out_file value type $other unsupported")
+    }
+    when(c.isNull, lit("nil")).otherwise(r)
+  }
+
+  /** One value through `msgpack2json` (json path — escaped strings). */
+  private def jsonVal(c: Column, dt: DataType): Column = {
+    val r = dt match {
+      case StringType                               => concat(lit("\""), FlbJsonEscape(c), lit("\""))
+      case BooleanType                              => when(c, "true").otherwise("false")
+      case ByteType | ShortType | IntegerType | LongType => c.cast("string")
+      case FloatType | DoubleType                   => format_string("%f", c.cast("double"))
+      case other =>
+        throw new IllegalArgumentException(s"out_file json value type $other unsupported")
+    }
+    when(c.isNull, lit("null")).otherwise(r)
+  }
+
+  private def interleave(sep: String, parts: Seq[Column]): Seq[Column] =
+    parts.flatMap(p => Seq(lit(sep), p)).tail
+
+  /** csv line (`file.c:117-138`): time, then values only (keys dropped). */
+  def csvLine(df: DataFrame, secCol: String, nsecCol: String,
+              valueCols: Seq[String], delimiter: String = ","): Column =
+    concat(interleave(delimiter,
+      timeDouble(col(secCol), col(nsecCol)) +:
+        valueCols.map(c => printed(col(c), df.schema(c).dataType))): _*)
+
+  /** ltsv line (`file.c:140-168`): `"time":%f` then `"key":value` pairs.
+    * Keys go through `msgpack_object_print` too, hence the quotes.
+    */
+  def ltsvLine(df: DataFrame, secCol: String, nsecCol: String,
+               valueCols: Seq[String], delimiter: String = "\t",
+               labelDelimiter: String = ":"): Column = {
+    val head = concat(lit("\"time\"" + labelDelimiter),
+      timeDouble(col(secCol), col(nsecCol)))
+    val pairs = valueCols.map { c =>
+      concat(lit("\"" + c + "\"" + labelDelimiter),
+        printed(col(c), df.schema(c).dataType))
+    }
+    concat(interleave(delimiter, head +: pairs): _*)
+  }
+
+  /** json line (`file.c:216-229`): `tag: [%f, {"k":v, "k2":v2}]`. */
+  def jsonLine(df: DataFrame, tagCol: String, secCol: String, nsecCol: String,
+               valueCols: Seq[String]): Column = {
+    val pairs = valueCols.map { c =>
+      concat(lit("\"" + c + "\":"), jsonVal(col(c), df.schema(c).dataType))
+    }
+    concat(col(tagCol), lit(": ["), timeDouble(col(secCol), col(nsecCol)),
+      lit(", {"), concat(interleave(", ", pairs): _*), lit("}]"))
+  }
+
+  /** Write per-tag files with reference-exact bytes: one text line per
+    * record (writer appends the `\n`), `partitionBy(tag)` so one job lays
+    * out every tag's directory — the Spark shape of out_file's
+    * file-per-tag append loop (`file.c:169-243`).
+    */
+  def writeExact(df: DataFrame, outDir: String, format: String,
+                 tagCol: String, secCol: String, nsecCol: String,
+                 valueCols: Seq[String]): Unit = {
+    val line = format match {
+      case "csv"  => csvLine(df, secCol, nsecCol, valueCols)
+      case "ltsv" => ltsvLine(df, secCol, nsecCol, valueCols)
+      case "json" => jsonLine(df, tagCol, secCol, nsecCol, valueCols)
+      case other  => throw new IllegalArgumentException(s"out_file format $other")
+    }
+    df.select(line.as("value"), col(tagCol))
+      .write.mode("overwrite").partitionBy(tagCol).text(outDir)
+  }
+}

@@ -163,6 +163,24 @@ object Fixtures {
     lit(".25 flags="), lower(hex(seq % 4096)),
     lit(" on="), when(seq % 2 === 0, "true").otherwise("false"))
 
+  /** Records for the out_file byte-format oracles (`fb_file_*`): tag +
+    * sec/nsec (nsec µs-aligned — see FileFormat's `%f` tie note) + one
+    * value per `msgpack_object_print` branch; `msg` is nil every 7th row
+    * and ASCII-clean so the json-path escape is the identity (the full
+    * escape table is pinned by FileFormatSpec goldens instead).
+    */
+  def fileSinkRecords(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    seqs(spark, sfDir).select(
+      seq,
+      lit("app.log").as("tag"),
+      (lit(TokenTable.BaseEpoch) + seq % 3600).as("sec"),
+      (seq * 997 % 1000000 * 1000).as("nsec"),
+      when(seq % 7 === 0, lit(null: String))
+        .otherwise(concat(lit("msg "), (seq % 50).cast("string"))).as("msg"),
+      (seq * 37 % 1009).as("code"),
+      ((seq % 89).cast("double") / 8.0).as("ratio"),
+      (seq % 2 === 0).as("ok"))
+
   // ---- DuckDB renderings of the shared sub-expressions (doc_id = seq)
   val duckdbCode: String =
     "CAST(CASE doc_id % 6 WHEN 3 THEN 404 WHEN 4 THEN 500 WHEN 5 THEN 503 ELSE 200 END AS VARCHAR)"

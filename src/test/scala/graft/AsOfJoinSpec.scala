@@ -130,4 +130,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
     assert(out.count() == 1000)
   }
+
+  test("lastBeforeBroadcast: null dim keys/timestamps dropped, not NPE") {
+    val e = Seq((1L, ts(300), "e1")).toDF("k", "ts", "event_id")
+    val d = Seq(
+      (Option(1L), Option(ts(200)), "ok"),
+      (Option.empty[Long], Option(ts(100)), "nullk"),
+      (Option(1L), Option.empty[java.sql.Timestamp], "nullts")
+    ).toDF("k", "ts_d", "v")
+    val got = AsOfJoin.lastBeforeBroadcast(e, "k", "ts", d, "k", "ts_d", Seq("v"))
+      .select("event_id", "v").as[(String, Option[String])].collect().toMap
+    assert(got == Map("e1" -> Some("ok")))
+  }
 }

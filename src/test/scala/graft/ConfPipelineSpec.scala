@@ -270,4 +270,17 @@ class ConfPipelineSpec extends AnyFunSuite {
     val written = spark.read.json(s"$dir/out_app")
     assert(written.count() == 2)
   }
+
+  test("Buf_Size suffixes (flb_utils_size_to_bytes, flb_utils.c:312-376)") {
+    import graft.run.ConfPipeline.sizeToBytes
+    assert(sizeToBytes("256") == 256L)
+    assert(sizeToBytes("16k") == 16000L)
+    assert(sizeToBytes("16K") == 16000L)
+    assert(sizeToBytes("2MB") == 2000000L)
+    assert(sizeToBytes("1g") == 1000000000L)
+    assert(sizeToBytes("5kb") == 5000L)
+    intercept[IllegalArgumentException](sizeToBytes("1x"))
+    intercept[IllegalArgumentException](sizeToBytes("1KX"))
+    intercept[IllegalArgumentException](sizeToBytes("kb"))
+  }
 }

@@ -155,4 +155,14 @@ class DedupSpec extends AnyFunSuite {
     // tokens are projected away before the shuffle
     assert(!plan.matches("(?s).*Exchange[^\\n]*tokens.*"), plan)
   }
+
+  test("star CC: non-convergence within maxIter fails loudly, not silently") {
+    // a 300-link path needs ~9 star rounds; 2 cannot reach the fixpoint,
+    // and emitting non-star labels silently would be wrong answers
+    val path = (0L until 300L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsStar(path.toDF("a", "b"), "a", "b", maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
