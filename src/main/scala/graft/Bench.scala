@@ -290,6 +290,26 @@ object Bench {
     val spread = Seq(thr4 -> med4, thr16 -> med16, thr32 -> med32)
       .map { case (b, m) => (b - m) / b }.max
 
+    // ---- phase 2b: ONE big block beyond the 32M comfort zone (default
+    //      100M rows ≈ 3× the steady input) — probes shuffle/spill once
+    //      per run at local[32]; rows/s should stay within ~20% of the
+    //      32M-row rate if nothing falls off a memory cliff. The input
+    //      parquet is built once and reused (path is keyed by row count).
+    val bigRows = sys.env.getOrElse("GRAFT_BENCH_BIG_ROWS", "100000000").toLong
+    val thrBig = if (bigRows <= 0) 0.0 else {
+      val bigPath = s"target/bench_input_$bigRows"
+      val s = session(32)
+      try {
+        if (!Files.exists(Paths.get(bigPath, "_SUCCESS"))) {
+          System.err.println(s"[bench] building $bigRows-row big-block input …")
+          TokenTable.synthetic(s, bigRows, 128)
+            .write.mode("overwrite").parquet(bigPath)
+        }
+        pipelineThroughput(s, bigPath, bigRows) // warm (codegen + file index)
+        pipelineThroughput(s, bigPath, bigRows)
+      } finally s.stop()
+    }
+
     // secondary headline: dedup signature throughput (MinHash 8-fn over
     // token 3-shingles + 16-bit SimHash, both per row) at local[32]
     val thrDedup = {
@@ -314,6 +334,15 @@ object Bench {
     val totalSec = results.map(_._2).filter(_ > 0).sum
     val qsScaled = scaledResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalScaledSec = scaledResults.map(_._2).filter(_ > 0).sum
+    // (1×, factor×, growth) triples — growth ≤ factor means the query's
+    // cost class held (sub-linear in data); the max is the headline
+    val growthPairs = scaledResults.flatMap { case (k, sv) =>
+      results.find(_._1 == k).collect { case (_, bv) if bv > 0 && sv > 0 =>
+        k -> sv / bv }
+    }
+    val growthJson = growthPairs
+      .map { case (k, g) => "\"" + k + "\":" + f"$g%.2f" }.mkString("{", ",", "}")
+    val maxGrowth = if (growthPairs.isEmpty) 0.0 else growthPairs.map(_._2).max
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
@@ -334,7 +363,9 @@ object Bench {
         s""""dedup_signature_rows_per_sec":$thrDedup,"total_query_sec":$totalSec,""" +
         s""""queries":$qs,""" +
         s""""scaled_factor":$scaledFactor,"scaled_total_sec":$totalScaledSec,""" +
-        s""""queries_scaled":$qsScaled,""" +
+        s""""queries_scaled":$qsScaled,"growth":$growthJson,""" +
+        s""""max_scaled_growth":${f"$maxGrowth%.2f"},""" +
+        s""""big_rows":$bigRows,"throughput_big_local32":$thrBig,""" +
         s""""query_errors":$errJson,"sf":"$sfDir"}"""
     println(json)
 
@@ -366,6 +397,8 @@ object Bench {
          || dedup signatures/sec (MinHash-8 + SimHash-16, local[32]) | ${"%,.0f".format(thrDedup)} |
          || per-query total (sf tables, steady-state) | ${"%.2f".format(totalSec)} s over ${results.size} queries |
          || per-query total at ${scaledFactor}× scaled tables (cold, single run) | ${"%.2f".format(totalScaledSec)} s over ${scaledResults.size} queries |
+         || max per-query growth at ${scaledFactor}× (sub-linear ⇔ ≤ $scaledFactor) | ${"%.1f".format(maxGrowth)}× |
+         || big block: parsed+routed rows/s at $bigRows rows (local[32]) | ${"%,.0f".format(thrBig)} (${"%.0f".format(100 * thrBig / thr32)}% of the ${benchRows}-row rate) |
          |""".stripMargin
     // run history survives rewrites: carry prior rows forward, append this
     // run — host throttling makes single runs noisy, the distribution is

@@ -284,8 +284,18 @@ object ConfPipeline {
           case "file" =>
             val fmt = o.options.getOrElse("format", "json")
             val path = o.options.getOrElse("path", s"$outDir/$sinkName")
-            graft.sinks.Sinks.writeFiles(
-              rows.withColumn("sink", col("tag")), path, fmt)
+            // reference-exact bytes (FileFormat): the record is every key
+            // except the tag envelope and the event time, which rides
+            // beside the map as flb_time (file.c:210-213)
+            val valueCols = rows.columns.filterNot(c => c == "tag" || c == "ts").toSeq
+            val withTime =
+              if (rows.columns.contains("ts"))
+                rows.withColumn("_sec", col("ts").cast("long"))
+                  .withColumn("_nsec",
+                    (unix_micros(col("ts")) - col("ts").cast("long") * 1000000L) * 1000L)
+              else rows.withColumn("_sec", lit(0L)).withColumn("_nsec", lit(0L))
+            graft.sinks.FileFormat.writeExact(
+              withTime, path, fmt, "tag", "_sec", "_nsec", valueCols)
             rows.count()
           case "forward" =>
             // wire-format frames (sinks/Forward), parquet of binary frames

@@ -266,9 +266,12 @@ class ConfPipelineSpec extends AnyFunSuite {
     val results = ConfPipeline.run(loaded, s"$dir/out").toMap
     assert(results("counter_0") == 3L) // 500,503 from app + 500 from db
     assert(results("file_1") == 2L) // only the app_frontend file's 5xx
-    // the file output actually landed, partitioned by tag
-    val written = spark.read.json(s"$dir/out_app")
-    assert(written.count() == 2)
+    // the file output landed with reference-exact json lines
+    // (file.c:216-229): 'tag: [%f, {map}]', partitioned by tag
+    val written = spark.read.text(s"$dir/out_app").select("value")
+      .collect().map(_.getString(0))
+    assert(written.length == 2)
+    assert(written.forall(_.matches("""logs\..*: \[\d+\.\d{6}, \{("[^"]+":.*, )*"[^"]+":.*\}\]""")))
   }
 
   test("Buf_Size suffixes (flb_utils_size_to_bytes, flb_utils.c:312-376)") {
