@@ -28,17 +28,22 @@ case class FlbJsonEscape(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  private def needsEscape(c: Char): Boolean =
-    c == '\\' || c == '"' || c < 0x20 || c >= 0x7f
-
   def escape(input: UTF8String): UTF8String = {
-    val s = input.toString
+    // zero-copy fast path on the raw UTF-8 bytes (no String decode): any
+    // byte ≥ 0x80 starts a multi-byte codepoint that must escape anyway,
+    // so a single signed-byte scan decides cleanliness
+    val n = input.numBytes
     var clean = true
-    var i = 0
-    while (clean && i < s.length) { if (needsEscape(s.charAt(i))) clean = false; i += 1 }
+    var j = 0
+    while (clean && j < n) {
+      val b = input.getByte(j)
+      if (b < 0x20 || b == '\\' || b == '"' || b == 0x7f) clean = false
+      j += 1
+    }
     if (clean) return input
+    val s = input.toString
     val out = new java.lang.StringBuilder(s.length + 8)
-    i = 0
+    var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
       if (cp == '\\' || cp == '"') out.append('\\').append(cp.toChar)

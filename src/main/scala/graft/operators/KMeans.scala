@@ -91,10 +91,12 @@ object KMeans {
       while (i < dim) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)
     }
-    // floor-division mean: inputs are non-negative by the caller's offset
-    // contract, so Long truncation == floor — the bit-reproducible step
+    // FLOOR-division mean (Math.floorDiv, not `/`): DuckDB's `//` floors,
+    // Long `/` truncates toward zero — they differ on negative sums, so a
+    // vector below the offset contract would silently diverge from the
+    // oracle with truncation. floorDiv keeps Scala ≡ SQL on all inputs.
     def finish(b: (Array[Long], Long)): Seq[Long] =
-      if (b._2 == 0) Seq.empty else b._1.toSeq.map(_ / b._2)
+      if (b._2 == 0) Seq.empty else b._1.toSeq.map(Math.floorDiv(_, b._2))
     def bufferEncoder: Encoder[(Array[Long], Long)] =
       Encoders.product[(Array[Long], Long)]
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()

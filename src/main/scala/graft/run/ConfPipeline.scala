@@ -52,14 +52,22 @@ object ConfPipeline {
   def sizeToBytes(size: String): Long = {
     val s = size.trim
     require(s.nonEmpty, "empty size value")
-    val suffixLen = s.reverseIterator.takeWhile(!_.isDigit).length
-    if (suffixLen == 0) return s.toLong
-    require(suffixLen <= 2 && suffixLen < s.length,
+    // atoll semantics: the numeric value is the LEADING integer ("2.5M"
+    // reads as 2M, bare "12.5" as 12 — exactly what the reference accepts)
+    val base = s.takeWhile(_.isDigit) match {
+      case "" => 0L
+      case d  => d.toLong
+    }
+    // suffix scan mirrors the C loop (`for (i = len-1; i > 0; i--)`):
+    // char 0 is never part of the suffix
+    val suffixLen = math.min(
+      s.reverseIterator.takeWhile(!_.isDigit).length, s.length - 1)
+    if (suffixLen == 0) return base
+    require(suffixLen <= 2,
       s"invalid size value '$size' (flb_utils_size_to_bytes semantics)")
     val suffix = s.takeRight(suffixLen).toUpperCase
     require(suffixLen == 1 || suffix.endsWith("B"),
       s"invalid size suffix in '$size' — two-char suffix must end in B")
-    val base = s.dropRight(suffixLen).toLong
     suffix.charAt(0) match {
       case 'K' => base * 1000L
       case 'M' => base * 1000L * 1000L

@@ -40,43 +40,72 @@ object FileFormat {
   def timeDouble(sec: Column, nsec: Column): Column =
     format_string("%f", sec.cast("double") + nsec.cast("double") / lit(1e9))
 
-  /** One value through `msgpack_object_print` (csv/ltsv path — raw quoted
-    * strings, NO escaping).
+  /** One value, recursively: `json = false` follows `msgpack_object_print`
+    * (csv/ltsv — raw quoted strings NO escaping, maps as `{k=>v, …}`,
+    * `objectc.c:225-257`); `json = true` follows `msgpack2json` (escaped
+    * strings, maps as `{"k":v, …}`, `flb_pack.c:437-481`). Arrays are
+    * `[a, b]` with `", "` in both. Nested containers go through the
+    * higher-order `transform` (CodegenFallback — fine off the hot path;
+    * top-level records are flat in every reference pipeline).
+    * Timestamp/date/decimal have no msgpack analog (a reference record
+    * never carries them) — rendered as stable strings rather than
+    * crashing the sink on an enriched frame.
     */
-  private def printed(c: Column, dt: DataType): Column = {
+  private def render(c: Column, dt: DataType, json: Boolean): Column = {
+    val nil = if (json) "null" else "nil"
     val r = dt match {
-      case StringType                               => concat(lit("\""), c, lit("\""))
-      case BooleanType                              => when(c, "true").otherwise("false")
+      case StringType =>
+        if (json) concat(lit("\""), FlbJsonEscape(c), lit("\""))
+        else concat(lit("\""), c, lit("\""))
+      case BooleanType => when(c, "true").otherwise("false")
       case ByteType | ShortType | IntegerType | LongType => c.cast("string")
-      case FloatType | DoubleType                   => format_string("%f", c.cast("double"))
+      case FloatType | DoubleType => format_string("%f", c.cast("double"))
+      case BinaryType => render(c.cast("string"), StringType, json)
+      case ArrayType(et, _) =>
+        concat(lit("["),
+          array_join(transform(c, e => render(e, et, json)), ", "), lit("]"))
+      case MapType(kt, vt, _) =>
+        val kvSep = if (json) ":" else "=>"
+        concat(lit("{"),
+          array_join(transform(map_entries(c), e =>
+            concat(render(e.getField("key"), kt, json), lit(kvSep),
+              render(e.getField("value"), vt, json))), ", "),
+          lit("}"))
+      case st: StructType =>
+        val kvSep = if (json) ":" else "=>"
+        val pairs = st.fields.toSeq.map { f =>
+          concat(lit("\"" + f.name + "\"" + kvSep),
+            render(c.getField(f.name), f.dataType, json))
+        }
+        if (pairs.isEmpty) lit("{}")
+        else concat(lit("{") +: interleave(", ", pairs) :+ lit("}"): _*)
+      case _: DecimalType => c.cast("string")
+      case TimestampType | DateType => concat(lit("\""), c.cast("string"), lit("\""))
       case other =>
         throw new IllegalArgumentException(s"out_file value type $other unsupported")
     }
-    when(c.isNull, lit("nil")).otherwise(r)
+    when(c.isNull, lit(nil)).otherwise(r)
   }
 
-  /** One value through `msgpack2json` (json path — escaped strings). */
-  private def jsonVal(c: Column, dt: DataType): Column = {
-    val r = dt match {
-      case StringType                               => concat(lit("\""), FlbJsonEscape(c), lit("\""))
-      case BooleanType                              => when(c, "true").otherwise("false")
-      case ByteType | ShortType | IntegerType | LongType => c.cast("string")
-      case FloatType | DoubleType                   => format_string("%f", c.cast("double"))
-      case other =>
-        throw new IllegalArgumentException(s"out_file json value type $other unsupported")
-    }
-    when(c.isNull, lit("null")).otherwise(r)
-  }
+  private def printed(c: Column, dt: DataType): Column = render(c, dt, json = false)
+  private def jsonVal(c: Column, dt: DataType): Column = render(c, dt, json = true)
 
   private def interleave(sep: String, parts: Seq[Column]): Seq[Column] =
     parts.flatMap(p => Seq(lit(sep), p)).tail
 
-  /** csv line (`file.c:117-138`): time, then values only (keys dropped). */
+  /** csv line (`file.c:117-138`): time, then values only (keys dropped).
+    * The reference SKIPS records whose map is empty (`file.c:127`) — with
+    * a fixed schema that is all-or-nothing, so an empty column list is
+    * rejected up front rather than emitting lines the reference wouldn't.
+    */
   def csvLine(df: DataFrame, secCol: String, nsecCol: String,
-              valueCols: Seq[String], delimiter: String = ","): Column =
+              valueCols: Seq[String], delimiter: String = ","): Column = {
+    require(valueCols.nonEmpty,
+      "out_file csv: empty record — the reference emits nothing (file.c:127)")
     concat(interleave(delimiter,
       timeDouble(col(secCol), col(nsecCol)) +:
         valueCols.map(c => printed(col(c), df.schema(c).dataType))): _*)
+  }
 
   /** ltsv line (`file.c:140-168`): `"time":%f` then `"key":value` pairs.
     * Keys go through `msgpack_object_print` too, hence the quotes.
@@ -84,6 +113,8 @@ object FileFormat {
   def ltsvLine(df: DataFrame, secCol: String, nsecCol: String,
                valueCols: Seq[String], delimiter: String = "\t",
                labelDelimiter: String = ":"): Column = {
+    require(valueCols.nonEmpty,
+      "out_file ltsv: empty record — the reference emits nothing (file.c:150)")
     val head = concat(lit("\"time\"" + labelDelimiter),
       timeDouble(col(secCol), col(nsecCol)))
     val pairs = valueCols.map { c =>
@@ -99,8 +130,11 @@ object FileFormat {
     val pairs = valueCols.map { c =>
       concat(lit("\"" + c + "\":"), jsonVal(col(c), df.schema(c).dataType))
     }
+    // an empty record prints as '{}' (msgpack2json writes the braces
+    // unconditionally, flb_pack.c:462-481)
+    val inner = if (pairs.isEmpty) lit("") else concat(interleave(", ", pairs): _*)
     concat(col(tagCol), lit(": ["), timeDouble(col(secCol), col(nsecCol)),
-      lit(", {"), concat(interleave(", ", pairs): _*), lit("}]"))
+      lit(", {"), inner, lit("}]"))
   }
 
   /** Write per-tag files with reference-exact bytes: one text line per

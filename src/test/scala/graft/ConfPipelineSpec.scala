@@ -282,6 +282,10 @@ class ConfPipelineSpec extends AnyFunSuite {
     assert(sizeToBytes("2MB") == 2000000L)
     assert(sizeToBytes("1g") == 1000000000L)
     assert(sizeToBytes("5kb") == 5000L)
+    // atoll numeric-prefix semantics: the reference reads "2.5M" as 2M
+    // and bare "12.5" as 12 (flb_utils.c:329)
+    assert(sizeToBytes("2.5M") == 2000000L)
+    assert(sizeToBytes("12.5") == 12L)
     intercept[IllegalArgumentException](sizeToBytes("1x"))
     intercept[IllegalArgumentException](sizeToBytes("1KX"))
     intercept[IllegalArgumentException](sizeToBytes("kb"))

@@ -96,4 +96,15 @@ class FileFormatSpec extends AnyFunSuite {
     assert(bytesUnder("a.log") == "1.000000,\"x\"\n")
     assert(bytesUnder("b.log") == "2.500000,\"y\"\n")
   }
+
+  test("nested arrays/maps: object_print {k=>v} vs msgpack2json {\"k\":v}") {
+    val df = Seq((Seq("a", "b"), Map("k" -> 1), 1L, 0L))
+      .toDF("arr", "m", "sec", "nsec").withColumn("tag", lit("t"))
+    val csv = df.select(FileFormat.csvLine(df, "sec", "nsec", Seq("arr", "m")))
+      .as[String].head()
+    assert(csv == "1.000000,[\"a\", \"b\"],{\"k\"=>1}")
+    val json = df.select(FileFormat.jsonLine(df, "tag", "sec", "nsec", Seq("arr", "m")))
+      .as[String].head()
+    assert(json == "t: [1.000000, {\"arr\":[\"a\", \"b\"], \"m\":{\"k\":1}}]")
+  }
 }
