@@ -242,6 +242,10 @@ object Bench {
     val raw4 = rawCpu(4)
     val raw16 = rawCpu(16)
     val rawCeiling = raw16 / (4.0 * raw4)
+    // a measured ceiling > 1 is probe noise by definition (scaling cannot
+    // exceed perfect) — clamp for the normalized metric so a lucky probe
+    // doesn't deflate the reported job-vs-hardware ratio
+    val ceilingForNorm = math.min(rawCeiling, 1.0)
     // fully interleaved blocks (4,16,32)×3: host throttling windows
     // outlast a single block, so visiting every level each round exposes
     // all levels to the same weather; best-per-level across rounds (one
@@ -363,7 +367,7 @@ object Bench {
         s""""throughput_local32_median":$med32,""" +
         s""""best_vs_median_spread":$spread,"blocks":$blocksJson,""" +
         s""""raw_cpu_scaling_ceiling_4_to_16":$rawCeiling,""" +
-        s""""scaling_efficiency_vs_hw_ceiling":${efficiencyTrimmed / rawCeiling},""" +
+        s""""scaling_efficiency_vs_hw_ceiling":${efficiencyTrimmed / ceilingForNorm},""" +
         s""""dedup_signature_rows_per_sec":$thrDedup,"total_query_sec":$totalSec,""" +
         s""""queries":$qs,""" +
         s""""scaled_factor":$scaledFactor,"scaled_total_sec":$totalScaledSec,""" +
@@ -397,7 +401,7 @@ object Bench {
          || throughput local[16] (best / median) | ${"%,.0f".format(thr16)} / ${"%,.0f".format(med16)} rows/s |
          || best−median spread (host-throttle noise) | ${"%.1f".format(spread * 100)}% |
          || raw-CPU busy-loop ceiling 4→16 (same run) | ${"%.3f".format(rawCeiling)} |
-         || trimmed-median efficiency normalized to hw ceiling | ${"%.3f".format(efficiencyTrimmed / rawCeiling)} |
+         || trimmed-median efficiency normalized to hw ceiling (ceiling clamped ≤1) | ${"%.3f".format(efficiencyTrimmed / ceilingForNorm)} |
          || dedup signatures/sec (MinHash-8 + SimHash-16, local[32]) | ${"%,.0f".format(thrDedup)} |
          || per-query total (sf tables, steady-state) | ${"%.2f".format(totalSec)} s over ${results.size} queries |
          || per-query total at ${scaledFactor}× scaled tables (cold, single run) | ${"%.2f".format(totalScaledSec)} s over ${scaledResults.size} queries |
