@@ -585,6 +585,27 @@ object SparkEntry {
         .select(col("vec_id"), col("cell"))
     }),
 
+    // -- k-means-trained IVF queried END-TO-END: train (integer Lloyd,
+    //    bit-reproducible), assign every vector to its one cell, probe the
+    //    2 nearest cells per query, cosine top-5 among candidates — the
+    //    full ANN lifecycle under ONE DuckDB oracle that independently
+    //    re-runs training + probe + scoring (cosine sequential fold is
+    //    bit-identical across engines, proven by ann_topk)
+    "sim_ivf_kmeans_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000d + 0.5d) + 1000L).as("qv"))
+      val cents = graft.operators.KMeans.fitInt(q, "vec_id", "qv", 8, 2)
+        .select(col("cent_id"), col("qvec").cast("array<double>").as("cvec"))
+      val qd = q.select(col("vec_id"), col("qv").cast("array<double>").as("v"))
+      Similarity.ivfTopK(
+        qd.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("v").as("qv")), "qid", "qv",
+        qd.select(col("vec_id").as("cid"), col("v").as("cv")), "cid", "cv",
+        cents, k = 5, nprobe = 2)
+    }),
+
     // -- embedding near-dup pairs: SRP bucket join + cosine (threshold 0 →
     //    all same-bucket pairs, exact doubles both sides)
     "dedup_embed_pairs" -> ((s, dir) => {
@@ -913,6 +934,58 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB CTE: the FULL unrolled integer Lloyd (k=8, 2
+    * iterations — quantize, argmin with smallest-id ties, integer-sum
+    * floor-division means, empty cells keep their centroid) ending in the
+    * final assignment `a3` and centroid table `c2`. Used by the
+    * sim_kmeans_cells and sim_ivf_kmeans_topk oracles.
+    */
+  private val lloydCte: String =
+    """WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT) + 1000) AS v
+           FROM embeddings),
+         dims AS (SELECT unnest(range(1, (SELECT len(v) FROM q LIMIT 1) + 1)) AS i),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cent_id, v AS cv
+           FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+         a1 AS (
+           SELECT vec_id, cell FROM (
+             SELECT q.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.v)+1),
+                   i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))), c.cent_id) AS rn
+             FROM q CROSS JOIN c0 c) WHERE rn = 1),
+         m1 AS (
+           SELECT cell AS cent_id, list(s ORDER BY i) AS cv FROM (
+             SELECT a1.cell, d.i, CAST(sum(q.v[d.i]) // count(*) AS BIGINT) AS s
+             FROM a1 JOIN q USING (vec_id) CROSS JOIN dims d
+             GROUP BY a1.cell, d.i) GROUP BY cell),
+         c1 AS (SELECT c0.cent_id, coalesce(m1.cv, c0.cv) AS cv
+                FROM c0 LEFT JOIN m1 USING (cent_id)),
+         a2 AS (
+           SELECT vec_id, cell FROM (
+             SELECT q.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.v)+1),
+                   i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))), c.cent_id) AS rn
+             FROM q CROSS JOIN c1 c) WHERE rn = 1),
+         m2 AS (
+           SELECT cell AS cent_id, list(s ORDER BY i) AS cv FROM (
+             SELECT a2.cell, d.i, CAST(sum(q.v[d.i]) // count(*) AS BIGINT) AS s
+             FROM a2 JOIN q USING (vec_id) CROSS JOIN dims d
+             GROUP BY a2.cell, d.i) GROUP BY cell),
+         c2 AS (SELECT c1.cent_id, coalesce(m2.cv, c1.cv) AS cv
+                FROM c1 LEFT JOIN m2 USING (cent_id)),
+         a3 AS (
+           SELECT vec_id, cell FROM (
+             SELECT q.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.v)+1),
+                   i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))), c.cent_id) AS rn
+             FROM q CROSS JOIN c2 c) WHERE rn = 1)"""
 
   def oracleSql: Map[String, String] = Map(
     "fb_parse_apache" ->
@@ -1303,56 +1376,42 @@ object SparkEntry {
            FROM d) WHERE rn = 1""",
 
     "sim_kmeans_cells" ->
-      """-- full unrolled Lloyd (k=8, 2 iterations) over integer-quantized
+      s"""-- full unrolled Lloyd (k=8, 2 iterations) over integer-quantized
          -- vectors: every step (half-up-floor quantize, integer L2 argmin
          -- with smallest-id ties, integer-sum floor-division means, empty
          -- cells keep their centroid) is bit-reproducible — an INDEPENDENT
          -- re-run of the training, not a copy of intermediate state
-         WITH q AS (
-           SELECT vec_id,
-                  list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT) + 1000) AS v
-           FROM embeddings),
-         dims AS (SELECT unnest(range(1, (SELECT len(v) FROM q LIMIT 1) + 1)) AS i),
-         c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cent_id, v AS cv
-           FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
-         a1 AS (
-           SELECT vec_id, cell FROM (
-             SELECT q.vec_id, c.cent_id AS cell,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_sum(list_transform(range(1, len(q.v)+1),
-                   i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))), c.cent_id) AS rn
-             FROM q CROSS JOIN c0 c) WHERE rn = 1),
-         m1 AS (
-           SELECT cell AS cent_id, list(s ORDER BY i) AS cv FROM (
-             SELECT a1.cell, d.i, CAST(sum(q.v[d.i]) // count(*) AS BIGINT) AS s
-             FROM a1 JOIN q USING (vec_id) CROSS JOIN dims d
-             GROUP BY a1.cell, d.i) GROUP BY cell),
-         c1 AS (SELECT c0.cent_id, coalesce(m1.cv, c0.cv) AS cv
-                FROM c0 LEFT JOIN m1 USING (cent_id)),
-         a2 AS (
-           SELECT vec_id, cell FROM (
-             SELECT q.vec_id, c.cent_id AS cell,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_sum(list_transform(range(1, len(q.v)+1),
-                   i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))), c.cent_id) AS rn
-             FROM q CROSS JOIN c1 c) WHERE rn = 1),
-         m2 AS (
-           SELECT cell AS cent_id, list(s ORDER BY i) AS cv FROM (
-             SELECT a2.cell, d.i, CAST(sum(q.v[d.i]) // count(*) AS BIGINT) AS s
-             FROM a2 JOIN q USING (vec_id) CROSS JOIN dims d
-             GROUP BY a2.cell, d.i) GROUP BY cell),
-         c2 AS (SELECT c1.cent_id, coalesce(m2.cv, c1.cv) AS cv
-                FROM c1 LEFT JOIN m2 USING (cent_id)),
-         a3 AS (
-           SELECT vec_id, cell FROM (
-             SELECT q.vec_id, c.cent_id AS cell,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_sum(list_transform(range(1, len(q.v)+1),
-                   i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))), c.cent_id) AS rn
-             FROM q CROSS JOIN c2 c) WHERE rn = 1)
+         $lloydCte
          SELECT vec_id, cell FROM a3""",
+
+    "sim_ivf_kmeans_topk" ->
+      s"""-- END-TO-END trained ANN: the same unrolled Lloyd, then each
+         -- query (vec_id < 8) probes its 2 nearest final cells (same
+         -- distance + smallest-id tie rule), candidates come from their
+         -- ONE assigned cell (a3), cosine over the quantized vectors with
+         -- the engine-portable sequential fold, top-5 by (cos DESC, cid)
+         $lloydCte,
+         probe AS (
+           SELECT qid, cell, qv FROM (
+             SELECT q.vec_id AS qid, c.cent_id AS cell, q.v AS qv,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.v)+1),
+                   i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))), c.cent_id) AS rn
+             FROM q CROSS JOIN c2 c WHERE q.vec_id < 8) WHERE rn <= 2),
+         scored AS (
+           SELECT p.qid, a3.vec_id AS cid,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(p.qv)+1),
+               i -> CAST(p.qv[i] AS DOUBLE) * CAST(cq.v[i] AS DOUBLE))), (x,y) -> x+y)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(p.qv)+1),
+                  i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE))), (x,y) -> x+y))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(cq.v)+1),
+                  i -> CAST(cq.v[i] AS DOUBLE) * CAST(cq.v[i] AS DOUBLE))), (x,y) -> x+y))) AS cos
+           FROM probe p
+           JOIN a3 ON p.cell = a3.cell AND a3.vec_id != p.qid
+           JOIN q cq ON cq.vec_id = a3.vec_id)
+         SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+           FROM scored) WHERE rn <= 5""",
 
     "dedup_embed_pairs" ->
       """WITH b AS (

@@ -90,4 +90,16 @@ class KMeansSpec extends AnyFunSuite {
       .orderBy("cent_id").select("cvec").as[Seq[Double]].collect()
     assert(cents.length == 2 && cents.forall(_.forall(x => !x.isNaN)))
   }
+
+  test("fitInt means FLOOR on negative sums (DuckDB // semantics, not Long /)") {
+    // one cell, two vectors: sums (-7, 7, -1) over count 2 must floor to
+    // (-4, 3, -1), where truncating division would give (-3, 3, 0)
+    val df = Seq(
+      (0L, Seq(-3L, 4L, 0L)),
+      (1L, Seq(-4L, 3L, -1L))
+    ).toDF("vec_id", "qvec")
+    val cents = KMeans.fitInt(df, "vec_id", "qvec", 1, 1)
+      .select("qvec").collect()(0).getSeq[Long](0)
+    assert(cents == Seq(-4L, 3L, -1L))
+  }
 }
