@@ -214,4 +214,25 @@ class StreamingSpec extends AnyFunSuite {
     val r2 = Generators.random(spark, 10).select("rand_value").as[Long].collect().toSeq
     assert(r1 == r2) // seeded
   }
+
+  test("streaming file sink emits the same reference-exact bytes as batch") {
+    import graft.sinks.FileFormat
+    val dir = Files.createTempDirectory("graft-stream-fmt").toString
+    val rows = Seq(
+      ("a.log", 1500000000L, 123456000L, "hello", 5L),
+      ("b.log", 1500000001L, 0L, "wo\"rld", 7L)
+    ).toDF("tag", "sec", "nsec", "msg", "code")
+    rows.write.mode("overwrite").parquet(dir)
+    val batchLines = rows
+      .select(FileFormat.jsonLine(rows, "tag", "sec", "nsec", Seq("msg", "code")).as("line"))
+      .as[String].collect().toSet
+    val stream = spark.readStream.schema(rows.schema).parquet(dir)
+    val streamed = stream
+      .select(FileFormat.jsonLine(stream, "tag", "sec", "nsec", Seq("msg", "code")).as("line"))
+    StreamPipeline.drainToMemory(streamed, "fmt_lines")
+    val streamLines = spark.sql("SELECT line FROM fmt_lines").as[String].collect().toSet
+    assert(streamLines == batchLines && batchLines.size == 2)
+    // the escape path rode through the stream: quote inside a value
+    assert(batchLines.exists(_.contains("wo\\\"rld")))
+  }
 }
