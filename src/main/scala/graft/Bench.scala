@@ -259,15 +259,20 @@ object Bench {
     }
     // FIXED block count — no adaptive stopping (an extension loop keyed on
     // the measured efficiency is an optional-stopping rule that biases the
-    // max-estimator upward; round-2 advice). Every block also takes a
-    // raw-CPU probe first: blocks whose probe sits >20% below the run's
-    // best probe were measured inside a host-throttle window and are
-    // EXCLUDED from the trimmed estimates (all blocks stay in the JSON).
+    // max-estimator upward; round-2 advice). Every block takes a raw-CPU
+    // probe at its START and END — a throttle window can arrive MID-block
+    // (observed: probes 1.25e10 → 4.2e9 inside one run, leaking a
+    // throttled job into a start-probe-clean block) — and a block whose
+    // WORSE probe sits >20% below the run's best probe is EXCLUDED from
+    // the trimmed estimates (all blocks stay in the JSON).
     val nBlocks = sys.env.getOrElse("GRAFT_BENCH_BLOCKS", "6").toInt
     final case class Block(probe: Double, t4: Double, t16: Double, t32: Double)
     val blocks = (1 to nBlocks).map { i =>
-      val b = Block(rawCpu(16, 1500), measureBlock(4), measureBlock(16), measureBlock(32))
-      System.err.println(f"[bench] block $i/$nBlocks probe=${b.probe}%.3g thr4=${b.t4}%.0f thr16=${b.t16}%.0f thr32=${b.t32}%.0f")
+      val p0 = rawCpu(16, 1500)
+      val (t4, t16, t32) = (measureBlock(4), measureBlock(16), measureBlock(32))
+      val p1 = rawCpu(16, 1500)
+      val b = Block(math.min(p0, p1), t4, t16, t32)
+      System.err.println(f"[bench] block $i/$nBlocks probe=${b.probe}%.3g (start=$p0%.3g end=$p1%.3g) thr4=${b.t4}%.0f thr16=${b.t16}%.0f thr32=${b.t32}%.0f")
       b
     }
     def median(xs: Seq[Double]): Double = {
