@@ -127,8 +127,30 @@ object Bench {
     val benchRows = sys.env.getOrElse("GRAFT_BENCH_ROWS", "32000000").toLong
     val inputPath = s"target/bench_input_$benchRows"
 
+    // raw-CPU probe (also used per scaling block below): detects host
+    // throttle windows so each phase's numbers carry their own weather tag
+    def rawCpu(nThreads: Int, millis: Long = 3000): Double = {
+      val done = new java.util.concurrent.atomic.AtomicLong
+      val stop = System.nanoTime() + millis * 1000000L
+      val ts = (1 to nThreads).map { _ =>
+        new Thread(() => {
+          var c = 0L
+          var x = 1L
+          while (System.nanoTime() < stop) {
+            var i = 0
+            while (i < 100000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+            c += 100000
+          }
+          if (x != 0) done.addAndGet(c)
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      done.get.toDouble / (millis / 1000.0)
+    }
+
     // ---- phase 1: per-operator timings over the sf tables
     val spark = session(cpus)
+    val queriesPhaseProbe = rawCpu(16, 1500)
     if (!Files.exists(Paths.get(inputPath))) {
       TokenTable.synthetic(spark, benchRows, 128)
         .write.mode("overwrite").parquet(inputPath)
@@ -174,6 +196,7 @@ object Bench {
       Files.readString(Paths.get(scaledDir, "_GRAFT_SCALED_OK")) == scaledFingerprint(sfDir)
     if (scaledFactor > 1 && !markerOk)
       buildScaled(spark, sfDir, scaledDir, scaledFactor)
+    val scaledPhaseProbe0 = rawCpu(16, 1500)
     val scaledResults = if (scaledFactor <= 1) Seq.empty else {
       // split sizing for the scaled read: 32 part files of ~1-2 MB each
       // must become ~32 tasks (cost-class comparison vs the 1× phase needs
@@ -198,6 +221,13 @@ object Bench {
       }
       r
     }
+    val scaledPhaseProbe1 = rawCpu(16, 1500)
+    // weather tag for the growth map: if the scaled phase ran slower-CPU
+    // than the 1x phase, growth ratios are inflated by host throttle, not
+    // by the plans (observed: a run whose scaled phase sat in a 1/3-CPU
+    // window showed 15-35x "growth" that a clean run measures at <=5x)
+    val scaledWeather =
+      math.min(scaledPhaseProbe0, scaledPhaseProbe1) / queriesPhaseProbe
     // dev knob: stop after the scaled phase (outlier diagnosis loop)
     if (sys.env.get("GRAFT_BENCH_SCALED_ONLY").contains("1")) {
       spark.stop()
@@ -221,24 +251,6 @@ object Bench {
     // ceiling is measured in-process each run and reported alongside.
     // best-of-N after one warmup: host-side throttling causes 2-20× swings
     // between identical runs; per-level best approximates true capability.
-    def rawCpu(nThreads: Int, millis: Long = 3000): Double = {
-      val done = new java.util.concurrent.atomic.AtomicLong
-      val stop = System.nanoTime() + millis * 1000000L
-      val ts = (1 to nThreads).map { _ =>
-        new Thread(() => {
-          var c = 0L
-          var x = 1L
-          while (System.nanoTime() < stop) {
-            var i = 0
-            while (i < 100000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
-            c += 100000
-          }
-          if (x != 0) done.addAndGet(c)
-        })
-      }
-      ts.foreach(_.start()); ts.foreach(_.join())
-      done.get.toDouble / (millis / 1000.0)
-    }
     val raw4 = rawCpu(4)
     val raw16 = rawCpu(16)
     val rawCeiling = raw16 / (4.0 * raw4)
@@ -376,6 +388,7 @@ object Bench {
         s""""dedup_signature_rows_per_sec":$thrDedup,"total_query_sec":$totalSec,""" +
         s""""queries":$qs,""" +
         s""""scaled_factor":$scaledFactor,"scaled_total_sec":$totalScaledSec,""" +
+        s""""scaled_phase_weather_ratio":${math.round(scaledWeather * 1000) / 1000.0},""" +
         s""""queries_scaled":$qsScaled,"growth":$growthJson,""" +
         s""""max_scaled_growth":${math.round(maxGrowth * 100) / 100.0},""" +
         s""""big_rows":$bigRows,"throughput_big_local32":$thrBig,""" +
@@ -411,6 +424,7 @@ object Bench {
          || per-query total (sf tables, steady-state) | ${"%.2f".format(totalSec)} s over ${results.size} queries |
          || per-query total at ${scaledFactor}× scaled tables (cold, single run) | ${"%.2f".format(totalScaledSec)} s over ${scaledResults.size} queries |
          || max per-query growth at ${scaledFactor}× (sub-linear ⇔ ≤ $scaledFactor) | ${"%.1f".format(maxGrowth)}× |
+         || scaled-phase weather ratio (scaled-phase CPU probe ÷ 1×-phase probe; <0.8 ⇒ growth inflated by host throttle) | ${"%.2f".format(scaledWeather)} |
          || big block: parsed+routed rows/s at $bigRows rows (local[32]) | ${"%,.0f".format(thrBig)} (${"%.0f".format(100 * thrBig / thr32)}% of the ${benchRows}-row rate) |
          |
          |Audited super-linear outlier in the scaled phase:
