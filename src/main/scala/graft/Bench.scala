@@ -150,6 +150,7 @@ object Bench {
 
     // ---- phase 1: per-operator timings over the sf tables
     val spark = session(cpus)
+    rawCpu(16, 300) // JIT warm the probe loop (a cold first probe reads low)
     val queriesPhaseProbe = rawCpu(16, 1500)
     if (!Files.exists(Paths.get(inputPath))) {
       TokenTable.synthetic(spark, benchRows, 128)
@@ -196,7 +197,7 @@ object Bench {
       Files.readString(Paths.get(scaledDir, "_GRAFT_SCALED_OK")) == scaledFingerprint(sfDir)
     if (scaledFactor > 1 && !markerOk)
       buildScaled(spark, sfDir, scaledDir, scaledFactor)
-    val scaledPhaseProbe0 = rawCpu(16, 1500)
+    val scaledPhaseProbe0 = if (scaledFactor > 1) rawCpu(16, 1500) else 0.0
     val scaledResults = if (scaledFactor <= 1) Seq.empty else {
       // split sizing for the scaled read: 32 part files of ~1-2 MB each
       // must become ~32 tasks (cost-class comparison vs the 1× phase needs
@@ -221,13 +222,19 @@ object Bench {
       }
       r
     }
-    val scaledPhaseProbe1 = rawCpu(16, 1500)
+    val scaledPhaseProbe1 = if (scaledFactor > 1) rawCpu(16, 1500) else 0.0
     // weather tag for the growth map: if the scaled phase ran slower-CPU
     // than the 1x phase, growth ratios are inflated by host throttle, not
     // by the plans (observed: a run whose scaled phase sat in a 1/3-CPU
-    // window showed 15-35x "growth" that a clean run measures at <=5x)
-    val scaledWeather =
-      math.min(scaledPhaseProbe0, scaledPhaseProbe1) / queriesPhaseProbe
+    // window showed 15-35x "growth" that a clean run measures at <=5x).
+    // Both phases are BRACKETED (start+end probes; scaledPhaseProbe0 ends
+    // the 1x phase and starts the scaled one) and each phase is tagged by
+    // the WORSE of its bracket probes; a dip that arrives and fully lifts
+    // between two probes remains invisible — bracketing bounds, it does
+    // not prove, cleanliness
+    val scaledWeather = if (scaledFactor <= 1) 1.0 else
+      math.min(scaledPhaseProbe0, scaledPhaseProbe1) /
+        math.min(queriesPhaseProbe, scaledPhaseProbe0)
     // dev knob: stop after the scaled phase (outlier diagnosis loop)
     if (sys.env.get("GRAFT_BENCH_SCALED_ONLY").contains("1")) {
       spark.stop()
@@ -236,7 +243,7 @@ object Bench {
           "\"" + k + "\":" + (math.round(sv / bv * 10) / 10.0) }
       }.mkString("{", ",", "}")
       val qsS = scaledResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""{"metric":"scaled_only","scaled_total_sec":${scaledResults.map(_._2).filter(_ > 0).sum},"queries_scaled":$qsS,"growth":$growth}""")
+      println(s"""{"metric":"scaled_only","scaled_total_sec":${scaledResults.map(_._2).filter(_ > 0).sum},"scaled_phase_weather_ratio":${math.round(scaledWeather * 1000) / 1000.0},"queries_scaled":$qsS,"growth":$growth}""")
       if (errors.nonEmpty) sys.exit(1) else return
     }
     spark.stop()
@@ -388,7 +395,9 @@ object Bench {
         s""""dedup_signature_rows_per_sec":$thrDedup,"total_query_sec":$totalSec,""" +
         s""""queries":$qs,""" +
         s""""scaled_factor":$scaledFactor,"scaled_total_sec":$totalScaledSec,""" +
-        s""""scaled_phase_weather_ratio":${math.round(scaledWeather * 1000) / 1000.0},""" +
+        (if (scaledFactor > 1)
+          s""""scaled_phase_weather_ratio":${math.round(scaledWeather * 1000) / 1000.0},"""
+         else "") +
         s""""queries_scaled":$qsScaled,"growth":$growthJson,""" +
         s""""max_scaled_growth":${math.round(maxGrowth * 100) / 100.0},""" +
         s""""big_rows":$bigRows,"throughput_big_local32":$thrBig,""" +
@@ -424,7 +433,7 @@ object Bench {
          || per-query total (sf tables, steady-state) | ${"%.2f".format(totalSec)} s over ${results.size} queries |
          || per-query total at ${scaledFactor}× scaled tables (cold, single run) | ${"%.2f".format(totalScaledSec)} s over ${scaledResults.size} queries |
          || max per-query growth at ${scaledFactor}× (sub-linear ⇔ ≤ $scaledFactor) | ${"%.1f".format(maxGrowth)}× |
-         || scaled-phase weather ratio (scaled-phase CPU probe ÷ 1×-phase probe; <0.8 ⇒ growth inflated by host throttle) | ${"%.2f".format(scaledWeather)} |
+         || scaled-phase weather ratio (worse scaled-bracket probe ÷ worse 1×-bracket probe; <0.8 ⇒ growth inflated by host throttle) | ${if (scaledFactor > 1) "%.2f".format(scaledWeather) else "n/a (scaled phase disabled)"} |
          || big block: parsed+routed rows/s at $bigRows rows (local[32]) | ${"%,.0f".format(thrBig)} (${"%.0f".format(100 * thrBig / thr32)}% of the ${benchRows}-row rate) |
          |
          |Audited super-linear outlier in the scaled phase:

@@ -73,3 +73,42 @@ case class FlbJsonEscape(child: Expression) extends UnaryExpression {
 object FlbJsonEscape {
   def apply(c: Column): Column = GraftShim.column(FlbJsonEscape(GraftShim.expression(c)))
 }
+
+/** Binary values as `msgpack_object_print` renders them
+  * (`lib/msgpack-2.1.3/src/objectc.c:119-131`, msgpack_object_bin_print):
+  * `"` escaped, printable ASCII (0x20–0x7E) raw, every other byte as
+  * `\\x` + two lowercase hex digits. Byte-exact for the csv/ltsv sink
+  * paths.
+  */
+case class FlbBinPrint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  def render(bytes: Array[Byte]): UTF8String = {
+    val out = new java.lang.StringBuilder(bytes.length + 8)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b == '"') out.append("\\\"")
+      else if (b >= 0x20 && b <= 0x7e) out.append(b.toChar)
+      else out.append(f"\\x$b%02x")
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    render(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bp", this, classOf[FlbBinPrint].getName)
+    defineCodeGen(ctx, ev, input => s"$ref.render($input)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FlbBinPrint {
+  def apply(c: Column): Column = GraftShim.column(FlbBinPrint(GraftShim.expression(c)))
+}

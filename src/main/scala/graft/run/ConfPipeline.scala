@@ -52,11 +52,16 @@ object ConfPipeline {
   def sizeToBytes(size: String): Long = {
     val s = size.trim
     require(s.nonEmpty, "empty size value")
-    // atoll semantics: the numeric value is the LEADING integer ("2.5M"
-    // reads as 2M, bare "12.5" as 12 — exactly what the reference accepts)
-    val base = s.takeWhile(_.isDigit) match {
+    // atoll semantics: the numeric value is the LEADING integer with an
+    // optional sign ("2.5M" reads as 2M, bare "12.5" as 12, "-1" as -1 —
+    // exactly what the reference accepts)
+    val (sign, unsigned) =
+      if (s.startsWith("-")) (-1L, s.drop(1))
+      else if (s.startsWith("+")) (1L, s.drop(1))
+      else (1L, s)
+    val base = unsigned.takeWhile(_.isDigit) match {
       case "" => 0L
-      case d  => d.toLong
+      case d  => sign * d.toLong
     }
     // suffix scan mirrors the C loop (`for (i = len-1; i > 0; i--)`):
     // char 0 is never part of the suffix

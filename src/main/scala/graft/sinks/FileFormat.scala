@@ -60,7 +60,15 @@ object FileFormat {
       case BooleanType => when(c, "true").otherwise("false")
       case ByteType | ShortType | IntegerType | LongType => c.cast("string")
       case FloatType | DoubleType => format_string("%f", c.cast("double"))
-      case BinaryType => render(c.cast("string"), StringType, json)
+      case BinaryType =>
+        // object_print path: msgpack_object_bin_print exactly (quote
+        // escaped, printables raw, others backslash-x hex). json path:
+        // the reference escapes the raw bytes and TRUNCATES at invalid
+        // UTF-8 (flb_utils.c:577-580); this port substitutes U+FFFD there
+        // instead (both mangle invalid data, declared divergence) — valid
+        // UTF-8 binary is byte-identical
+        if (json) concat(lit("\""), graft.functions.FlbJsonEscape(c.cast("string")), lit("\""))
+        else concat(lit("\""), graft.functions.FlbBinPrint(c), lit("\""))
       case ArrayType(et, _) =>
         concat(lit("["),
           array_join(transform(c, e => render(e, et, json)), ", "), lit("]"))

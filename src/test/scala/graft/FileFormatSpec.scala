@@ -107,4 +107,12 @@ class FileFormatSpec extends AnyFunSuite {
       .as[String].head()
     assert(json == "t: [1.000000, {\"arr\":[\"a\", \"b\"], \"m\":{\"k\":1}}]")
   }
+
+  test("binary values: msgpack_object_bin_print bytes (objectc.c:119-131)") {
+    val df = Seq((Array[Byte]('h', '"', 0x01, 0xff.toByte), 1L, 0L))
+      .toDF("b", "sec", "nsec")
+    val got = df.select(FileFormat.csvLine(df, "sec", "nsec", Seq("b")))
+      .as[String].head()
+    assert(got == "1.000000,\"h" + bs + "\"" + bs + "x01" + bs + "xff\"")
+  }
 }
