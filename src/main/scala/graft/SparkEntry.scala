@@ -847,6 +847,31 @@ object SparkEntry {
         .jsonLine(f, "tag", "sec", "nsec", Seq("msg", "code", "ratio", "ok")).as("line"))
     }),
 
+    // -- out_stdout line bytes (stdout.c:55-59): '[cnt] tag: [sec.9dign,
+    //    {record}]' — raw sec.nsec (NOT %f), record via msgpack_object_print
+    "fb_stdout_line" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+      f.select(col("seq"), graft.sinks.FileFormat.stdoutLine(
+        f, "seq", "tag", "sec", "nsec", Seq("msg", "code", "ratio", "ok")).as("line"))
+    }),
+
+    // -- out_plot line bytes (plot.c:160-171): '%f value'
+    "fb_plot_line" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+      f.select(col("seq"),
+        graft.sinks.FileFormat.plotLine(f, "sec", "nsec", "code").as("line"))
+    }),
+
+    // -- ES Bulk-API chunk bytes (es_bulk.h:27 + es.c:229-287): index
+    //    action line + record json with @timestamp FIRST (strftime +
+    //    UNPADDED .nsecZ fraction — es.c prints the raw tv_nsec integer)
+    "fb_es_bulk" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+      f.select(col("seq"), graft.sinks.Sinks.esBulkChunk(
+        f, "sec", "nsec", Seq("msg", "code", "ratio", "ok"),
+        index = lit("fluent-bit")).as("chunk"))
+    }),
+
     // -- ns-fidelity time envelope (struct flb_time): 9-digit %L fractions
     //    kept at ns resolution, µs timestamp derived for windowing
     "fb_time_ns" -> ((s, dir) => {
@@ -1701,6 +1726,61 @@ object SparkEntry {
              || '"code":' || code || ', '
              || '"ratio":' || ratio || ', '
              || '"ok":' || ok || '}]' AS line
+         FROM r""",
+
+    "fb_stdout_line" ->
+      """-- out_stdout bytes (stdout.c:55-59): '[cnt] tag: [sec.%09u-nsec,
+         -- {record}]', record through msgpack_object_print ({k=>v} form)
+         WITH r AS (
+           SELECT doc_id AS seq,
+             1500322623 + doc_id % 3600 AS sec,
+             ((doc_id * 997) % 1000000) * 1000 AS nsec,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS msg,
+             CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
+             printf('%f', (doc_id % 89) / 8.0) AS ratio,
+             CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END AS ok
+           FROM documents)
+         SELECT seq,
+           '[' || seq || '] app.log: [' || sec || '.'
+             || lpad(CAST(nsec AS VARCHAR), 9, '0') || ', {'
+             || '"msg"=>' || coalesce('"' || msg || '"', 'nil') || ', '
+             || '"code"=>' || code || ', '
+             || '"ratio"=>' || ratio || ', '
+             || '"ok"=>' || ok || '}]' AS line
+         FROM r""",
+
+    "fb_plot_line" ->
+      """-- out_plot bytes (plot.c:160-171): '%f value'
+         SELECT doc_id AS seq,
+           printf('%f', (1500322623 + doc_id % 3600)
+                        + ((doc_id * 997) % 1000000) * 1000 / 1000000000.0)
+             || ' ' || CAST((doc_id * 37) % 1009 AS VARCHAR) AS line
+         FROM documents""",
+
+    "fb_es_bulk" ->
+      """-- ES bulk chunk (es_bulk.h:27 + es.c:229-287): action line,
+         -- newline, record json with @timestamp first (strftime +
+         -- UNPADDED raw-nsec fraction), newline
+         WITH r AS (
+           SELECT doc_id AS seq,
+             1500322623 + doc_id % 3600 AS sec,
+             ((doc_id * 997) % 1000000) * 1000 AS nsec,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS msg,
+             CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
+             printf('%f', (doc_id % 89) / 8.0) AS ratio,
+             CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END AS ok
+           FROM documents)
+         SELECT seq,
+           '{"index":{"_index":"fluent-bit","_type":"flb_type"}}' || chr(10)
+             || '{"@timestamp":"'
+             || strftime(epoch_ms(sec * 1000), '%Y-%m-%dT%H:%M:%S')
+             || '.' || CAST(nsec AS VARCHAR) || 'Z", '
+             || '"msg":' || coalesce('"' || msg || '"', 'null') || ', '
+             || '"code":' || code || ', '
+             || '"ratio":' || ratio || ', '
+             || '"ok":' || ok || '}' || chr(10) AS chunk
          FROM r""",
 
     "fb_time_ns" ->

@@ -162,4 +162,41 @@ object FileFormat {
     df.select(line.as("value"), col(tagCol))
       .write.mode("overwrite").partitionBy(tagCol).text(outDir)
   }
+
+  /** out_stdout line (`plugins/out_stdout/stdout.c:55-59`):
+    * `[cnt] tag: [sec.%09d-nsec, {record}]` — the time prints as raw
+    * seconds + 9-zero-padded nanoseconds (NOT `%f`), the record through
+    * `msgpack_object_print` (`{"k"=>v, }` map form). `cnt` is the
+    * reference's per-flush record counter — pass any deterministic
+    * ordinal (its value is caller-defined, the byte LAYOUT is pinned).
+    */
+  def stdoutLine(df: DataFrame, cntCol: String, tagCol: String,
+                 secCol: String, nsecCol: String,
+                 valueCols: Seq[String]): Column = {
+    val pairs = valueCols.map { c =>
+      concat(lit("\"" + c + "\"=>"), printed(col(c), df.schema(c).dataType))
+    }
+    val inner = if (pairs.isEmpty) lit("") else concat(interleave(", ", pairs): _*)
+    concat(lit("["), col(cntCol).cast("string"), lit("] "), col(tagCol),
+      lit(": ["), col(secCol).cast("string"), lit("."),
+      lpad(col(nsecCol).cast("string"), 9, "0"), lit(", {"), inner, lit("}]"))
+  }
+
+  /** out_plot line (`plugins/out_plot/plot.c:160-171`): `%f <value>` —
+    * one data point per record; the value must be integral (printed
+    * decimal) or floating (printed `%f`/`%lf`, same 6 decimals); any
+    * other type is the reference's hard error.
+    */
+  def plotLine(df: DataFrame, secCol: String, nsecCol: String,
+               valueCol: String): Column = {
+    val v = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(valueCol).cast("string")
+      case FloatType | DoubleType =>
+        format_string("%f", col(valueCol).cast("double"))
+      case other => throw new IllegalArgumentException(
+        s"out_plot value must be integer or float, got $other (plot.c:172-175)")
+    }
+    concat(timeDouble(col(secCol), col(nsecCol)), lit(" "), v)
+  }
 }

@@ -68,4 +68,50 @@ object Sinks {
   /** ES injected time field — ms precision ISO form (`es.c:208-241`). */
   def esTimeKey(ts: Column): Column =
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+  /** One ES Bulk-API chunk per record (`plugins/out_es/es_bulk.h:27-28` +
+    * `es.c:229-287`): the index action line
+    * `{"index":{"_index":"…","_type":"…"[,"_id":"…"]}}`, a newline, then
+    * the record JSON — a map packed as `@timestamp` FIRST (strftime
+    * `%Y-%m-%dT%H:%M:%S` + `.<tv_nsec>Z`, the nsec integer UNPADDED —
+    * es.c:239-241 prints the raw value, `.0Z` / `.123456000Z`), then the
+    * dot→underscore-sanitized record keys, serialized by
+    * `flb_msgpack_to_json` (`":"` key-value, `", "` pair separators,
+    * [[graft.functions.FlbJsonEscape]] escaping) — then the trailing
+    * newline. Concatenating chunks yields the exact bulk payload body.
+    * Requires a UTC session timezone (the reference uses gmtime).
+    */
+  def esBulkChunk(df: DataFrame, secCol: String, nsecCol: String,
+                  valueCols: Seq[String], index: Column,
+                  esType: String = "flb_type",
+                  id: Option[Column] = None): Column = {
+    import org.apache.spark.sql.types._
+    val ts = concat(
+      date_format(timestamp_seconds(col(secCol)), "yyyy-MM-dd'T'HH:mm:ss"),
+      lit("."), col(nsecCol).cast("string"), lit("Z"))
+    val pairs = valueCols.map { c =>
+      val v = df.schema(c).dataType match {
+        case StringType => concat(lit("\""), graft.functions.FlbJsonEscape(col(c)), lit("\""))
+        case BooleanType => when(col(c), "true").otherwise("false")
+        case ByteType | ShortType | IntegerType | LongType => col(c).cast("string")
+        case FloatType | DoubleType => format_string("%f", col(c).cast("double"))
+        case other => throw new IllegalArgumentException(s"es bulk value type $other")
+      }
+      concat(lit("\"" + c.replace('.', '_') + "\":"),
+        when(col(c).isNull, lit("null")).otherwise(v))
+    }
+    // empty record: map(0+1) holds only the timestamp entry
+    val recordParts =
+      if (pairs.isEmpty) Seq(lit("{\"@timestamp\":\""), ts, lit("\"}"))
+      else Seq(lit("{\"@timestamp\":\""), ts, lit("\", ")) ++
+        pairs.flatMap(p => Seq(p, lit(", "))).dropRight(1) ++ Seq(lit("}"))
+    val record = concat(recordParts: _*)
+    val action = id match {
+      case Some(i) => concat(lit("{\"index\":{\"_index\":\""), index,
+        lit("\",\"_type\":\"" + esType + "\",\"_id\":\""), i, lit("\"}}"))
+      case None => concat(lit("{\"index\":{\"_index\":\""), index,
+        lit("\",\"_type\":\"" + esType + "\"}}"))
+    }
+    concat(action, lit("\n"), record, lit("\n"))
+  }
 }

@@ -115,4 +115,32 @@ class FileFormatSpec extends AnyFunSuite {
       .as[String].head()
     assert(got == "1.000000,\"h" + bs + "\"" + bs + "x01" + bs + "xff\"")
   }
+
+  test("stdout line bytes (stdout.c:55-59): raw sec.9-digit-nsec, {k=>v} record") {
+    val df = Seq((7L, "t.log", 1500000000L, 5000L, "x", 3L))
+      .toDF("cnt", "tag", "sec", "nsec", "k", "n")
+    val got = df.select(FileFormat.stdoutLine(df, "cnt", "tag", "sec", "nsec", Seq("k", "n")))
+      .as[String].head()
+    assert(got == "[7] t.log: [1500000000.000005000, {\"k\"=>\"x\", \"n\"=>3}]")
+  }
+
+  test("plot line bytes (plot.c:160-171): %f value; strings rejected") {
+    val df = Seq((1L, 500000000L, 42L, "s")).toDF("sec", "nsec", "v", "bad")
+    val got = df.select(FileFormat.plotLine(df, "sec", "nsec", "v")).as[String].head()
+    assert(got == "1.500000 42")
+    intercept[IllegalArgumentException](FileFormat.plotLine(df, "sec", "nsec", "bad"))
+  }
+
+  test("es bulk chunk bytes (es_bulk.h:27 + es.c:229-245): unpadded nsec fraction") {
+    import graft.sinks.Sinks
+    val df = Seq((1500000000L, 7L, "log.level", 5L)).toDF("sec", "nsec", "msg", "code")
+    val got = df.select(Sinks.esBulkChunk(df, "sec", "nsec", Seq("msg", "code"),
+      index = lit("fluent-bit"))).as[String].head()
+    assert(got == "{\"index\":{\"_index\":\"fluent-bit\",\"_type\":\"flb_type\"}}\n" +
+      "{\"@timestamp\":\"2017-07-14T02:40:00.7Z\", \"msg\":\"log.level\", \"code\":5}\n")
+    // with Generate_ID: the _id rides in the action line
+    val withId = df.select(Sinks.esBulkChunk(df, "sec", "nsec", Seq("msg", "code"),
+      index = lit("i"), id = Some(lit("u-1")))).as[String].head()
+    assert(withId.startsWith("{\"index\":{\"_index\":\"i\",\"_type\":\"flb_type\",\"_id\":\"u-1\"}}\n"))
+  }
 }
