@@ -872,6 +872,38 @@ object SparkEntry {
         index = lit("fluent-bit")).as("chunk"))
     }),
 
+    // -- InfluxDB line protocol (influxdb.c:88-278): 'tag,_seq=N k=v,...
+    //    ns' — uppercase booleans, escaped quoted strings, nulls skipped,
+    //    NO i-suffix on integers (the reference predates it)
+    "fb_influx_line" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+      f.select(col("seq"), graft.sinks.Sinks.influxLine(
+        f, "tag", "seq", "sec", "nsec", Seq("msg", "code", "ratio", "ok")).as("line"))
+    }),
+
+    // -- out_nats payload entry (nats.c:105-150): '[%f, {"tag":..., rec}]'
+    "fb_nats_payload" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+      f.select(col("seq"), graft.sinks.Sinks.natsEntry(
+        f, "tag", "sec", "nsec", Seq("msg", "code", "ratio", "ok")).as("entry"))
+    }),
+
+    // -- out_http json record (http.c:67-124), ISO8601 date form (µs,
+    //    zero-padded — unlike es bulk's raw-nsec fraction)
+    "fb_http_json" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+      f.select(col("seq"), graft.sinks.Sinks.httpJsonRecord(
+        f, "sec", "nsec", Seq("msg", "code", "ratio", "ok"),
+        iso8601 = true).as("record"))
+    }),
+
+    // -- Splunk HEC event (splunk.c:85-134): '{"time":%f, "event":{rec}}'
+    "fb_splunk_event" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+      f.select(col("seq"), graft.sinks.Sinks.splunkEvent(
+        f, "sec", "nsec", Seq("msg", "code", "ratio", "ok")).as("event"))
+    }),
+
     // -- ns-fidelity time envelope (struct flb_time): 9-digit %L fractions
     //    kept at ns resolution, µs timestamp derived for windowing
     "fb_time_ns" -> ((s, dir) => {
@@ -1781,6 +1813,86 @@ object SparkEntry {
              || '"code":' || code || ', '
              || '"ratio":' || ratio || ', '
              || '"ok":' || ok || '}' || chr(10) AS chunk
+         FROM r""",
+
+    "fb_influx_line" ->
+      """-- influxdb line protocol (influxdb.c:88-278 + influxdb_bulk.c):
+         -- head 'tag,_seq=N', space, null-skipped k=v fields (strings
+         -- escape-quoted, TRUE/FALSE uppercase, floats %f), space, ns ts
+         WITH r AS (
+           SELECT doc_id AS seq,
+             1500322623 + doc_id % 3600 AS sec,
+             ((doc_id * 997) % 1000000) * 1000 AS nsec,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS msg,
+             CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
+             printf('%f', (doc_id % 89) / 8.0) AS ratio,
+             CASE WHEN doc_id % 2 = 0 THEN 'TRUE' ELSE 'FALSE' END AS ok
+           FROM documents)
+         SELECT seq,
+           'app.log,_seq=' || seq || ' '
+             || concat_ws(',',
+                  CASE WHEN msg IS NULL THEN NULL ELSE 'msg="' || msg || '"' END,
+                  'code=' || code, 'ratio=' || ratio, 'ok=' || ok)
+             || ' ' || CAST(sec * 1000000000 + nsec AS VARCHAR) AS line
+         FROM r""",
+
+    "fb_nats_payload" ->
+      """-- nats payload entry (nats.c:105-150): [%f, {"tag":..., record}]
+         WITH r AS (
+           SELECT doc_id AS seq,
+             printf('%f', (1500322623 + doc_id % 3600)
+                          + ((doc_id * 997) % 1000000) * 1000 / 1000000000.0) AS t,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS msg,
+             CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
+             printf('%f', (doc_id % 89) / 8.0) AS ratio,
+             CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END AS ok
+           FROM documents)
+         SELECT seq,
+           '[' || t || ', {"tag":"app.log", '
+             || '"msg":' || coalesce('"' || msg || '"', 'null') || ', '
+             || '"code":' || code || ', "ratio":' || ratio || ', '
+             || '"ok":' || ok || '}]' AS entry
+         FROM r""",
+
+    "fb_http_json" ->
+      """-- http json record (http.c:67-124), ISO8601 µs date first
+         WITH r AS (
+           SELECT doc_id AS seq,
+             1500322623 + doc_id % 3600 AS sec,
+             ((doc_id * 997) % 1000000) * 1000 AS nsec,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS msg,
+             CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
+             printf('%f', (doc_id % 89) / 8.0) AS ratio,
+             CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END AS ok
+           FROM documents)
+         SELECT seq,
+           '{"date":"' || strftime(epoch_ms(sec * 1000), '%Y-%m-%dT%H:%M:%S')
+             || '.' || lpad(CAST(nsec // 1000 AS VARCHAR), 6, '0') || 'Z", '
+             || '"msg":' || coalesce('"' || msg || '"', 'null') || ', '
+             || '"code":' || code || ', "ratio":' || ratio || ', '
+             || '"ok":' || ok || '}' AS record
+         FROM r""",
+
+    "fb_splunk_event" ->
+      """-- splunk HEC event (splunk.c:85-134): {"time":%f, "event":{rec}}
+         WITH r AS (
+           SELECT doc_id AS seq,
+             printf('%f', (1500322623 + doc_id % 3600)
+                          + ((doc_id * 997) % 1000000) * 1000 / 1000000000.0) AS t,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS msg,
+             CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
+             printf('%f', (doc_id % 89) / 8.0) AS ratio,
+             CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END AS ok
+           FROM documents)
+         SELECT seq,
+           '{"time":' || t || ', "event":{'
+             || '"msg":' || coalesce('"' || msg || '"', 'null') || ', '
+             || '"code":' || code || ', "ratio":' || ratio || ', '
+             || '"ok":' || ok || '}}' AS event
          FROM r""",
 
     "fb_time_ns" ->

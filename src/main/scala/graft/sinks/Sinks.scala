@@ -114,4 +114,115 @@ object Sinks {
     }
     concat(action, lit("\n"), record, lit("\n"))
   }
+
+  /** One InfluxDB line-protocol record
+    * (`plugins/out_influxdb/influxdb.c:88-278` + `influxdb_bulk.c:79-188`):
+    * `tag,<seqName>=<seq>[,taggedKey=val…] k=v[,k2=v2…] <ns-timestamp>`.
+    * Value forms follow the reference exactly: strings/binary quoted with
+    * `flb_utils_write_str` escaping, booleans UPPERCASE TRUE/FALSE,
+    * integers decimal, floats `%f` — and note the reference emits NO `i`
+    * suffix on integers (it predates that convention). NULL values are
+    * skipped per record (`influxdb.c:171-174` — "missing values are Null
+    * by default in InfluxDB"); `taggedKeys` mirrors the Tag_Keys option
+    * (those pairs ride in the measurement head). The reference joins
+    * records with a bare newline; at least one non-tagged field must be
+    * non-null or the reference drops the record with an error.
+    */
+  def influxLine(df: DataFrame, tagCol: String, seqCol: String,
+                 secCol: String, nsecCol: String, valueCols: Seq[String],
+                 seqName: String = "_seq",
+                 taggedKeys: Set[String] = Set.empty): Column = {
+    import org.apache.spark.sql.types._
+    def v(c: String): Column = df.schema(c).dataType match {
+      case StringType =>
+        concat(lit("\""), graft.functions.FlbJsonEscape(col(c)), lit("\""))
+      case BinaryType =>
+        concat(lit("\""), graft.functions.FlbJsonEscape(col(c).cast("string")), lit("\""))
+      case BooleanType => when(col(c), "TRUE").otherwise("FALSE")
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("string")
+      case FloatType | DoubleType => format_string("%f", col(c).cast("double"))
+      case other => throw new IllegalArgumentException(s"influxdb value type $other")
+    }
+    def pairs(cols: Seq[String]): Column = array_join(
+      array(cols.map(c =>
+        when(col(c).isNull, lit(null)).otherwise(concat(lit(c + "="), v(c)))): _*),
+      ",") // array_join skips nulls → reference's per-record null-skip
+    val (tagged, fields) = valueCols.partition(taggedKeys.contains)
+    val headParts =
+      Seq(col(tagCol), lit("," + seqName + "="), col(seqCol).cast("string")) ++
+        tagged.map(c => concat(lit("," + c + "="), v(c)))
+    val head = concat(headParts: _*)
+    val ns = (col(secCol).cast("long") * 1000000000L + col(nsecCol).cast("long"))
+      .cast("string")
+    concat(head, lit(" "), pairs(fields), lit(" "), ns)
+  }
+
+  private def jsonFieldPairs(df: DataFrame, valueCols: Seq[String]): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    valueCols.map { c =>
+      val v = df.schema(c).dataType match {
+        case StringType => concat(lit("\""), graft.functions.FlbJsonEscape(col(c)), lit("\""))
+        case BooleanType => when(col(c), "true").otherwise("false")
+        case ByteType | ShortType | IntegerType | LongType => col(c).cast("string")
+        case FloatType | DoubleType => format_string("%f", col(c).cast("double"))
+        case other => throw new IllegalArgumentException(s"json value type $other")
+      }
+      concat(lit("\"" + c + "\":"), when(col(c).isNull, lit("null")).otherwise(v))
+    }
+  }
+
+  /** One out_nats payload entry (`plugins/out_nats/nats.c:105-150`):
+    * `[<%f time>, {"tag":"<tag>", …record}]` — the record map is packed
+    * with the tag as its FIRST key, the whole thing serialized by
+    * `flb_msgpack_to_json` (`", "` between entries/pairs, `":"` k-v).
+    * The full request body is `[entry, entry, …]` — join chunks with
+    * `", "` inside `[` `]`.
+    */
+  def natsEntry(df: DataFrame, tagCol: String, secCol: String,
+                nsecCol: String, valueCols: Seq[String]): Column = {
+    val pairs = jsonFieldPairs(df, valueCols)
+    val tagPair = concat(lit("\"tag\":\""),
+      graft.functions.FlbJsonEscape(col(tagCol)), lit("\""))
+    val inner = (tagPair +: pairs).flatMap(p => Seq(p, lit(", "))).dropRight(1)
+    concat(Seq(lit("["), FileFormat.timeDouble(col(secCol), col(nsecCol)),
+      lit(", {")) ++ inner ++ Seq(lit("}]")): _*)
+  }
+
+  /** One out_http json-format record (`plugins/out_http/http.c:67-124`):
+    * `{"<dateKey>":<date>, …record}` with the date FIRST — date either
+    * the `%f` time double (default) or ISO8601
+    * `%Y-%m-%dT%H:%M:%S.%06dZ` (µs precision, zero-padded, http.c:96-105).
+    * Body = `[record, record, …]`. Requires a UTC session timezone for
+    * the ISO form (gmtime).
+    */
+  def httpJsonRecord(df: DataFrame, secCol: String, nsecCol: String,
+                     valueCols: Seq[String], dateKey: String = "date",
+                     iso8601: Boolean = false): Column = {
+    val dateVal =
+      if (!iso8601) FileFormat.timeDouble(col(secCol), col(nsecCol))
+      else concat(lit("\""),
+        date_format(timestamp_seconds(col(secCol)), "yyyy-MM-dd'T'HH:mm:ss"),
+        lit("."), lpad((col(nsecCol).cast("long") / 1000L).cast("long").cast("string"), 6, "0"),
+        lit("Z\""))
+    val pairs = jsonFieldPairs(df, valueCols)
+    val head = concat(lit("{\"" + dateKey + "\":"), dateVal)
+    val inner =
+      if (pairs.isEmpty) Seq(head)
+      else Seq(head, lit(", ")) ++ pairs.flatMap(p => Seq(p, lit(", "))).dropRight(1)
+    concat(inner ++ Seq(lit("}")): _*)
+  }
+
+  /** One Splunk HEC event (`plugins/out_splunk/splunk.c:85-134`):
+    * `{"time":<%f double>, "event":{…record}}` — events are concatenated
+    * back-to-back with NO separator (splunk.c:130, flb_sds_cat).
+    */
+  def splunkEvent(df: DataFrame, secCol: String, nsecCol: String,
+                  valueCols: Seq[String]): Column = {
+    val pairs = jsonFieldPairs(df, valueCols)
+    val inner =
+      if (pairs.isEmpty) Seq.empty[Column]
+      else pairs.flatMap(p => Seq(p, lit(", "))).dropRight(1)
+    concat(Seq(lit("{\"time\":"), FileFormat.timeDouble(col(secCol), col(nsecCol)),
+      lit(", \"event\":{")) ++ inner ++ Seq(lit("}}")): _*)
+  }
 }

@@ -143,4 +143,21 @@ class FileFormatSpec extends AnyFunSuite {
       index = lit("i"), id = Some(lit("u-1")))).as[String].head()
     assert(withId.startsWith("{\"index\":{\"_index\":\"i\",\"_type\":\"flb_type\",\"_id\":\"u-1\"}}\n"))
   }
+
+  test("influx line bytes (influxdb.c:88-278): null-skip, TRUE/FALSE, tagged keys") {
+    import graft.sinks.Sinks
+    val df = Seq(
+      ("t", 3L, 10L, 500L, Option("a\"b"), 7L, true),
+      ("t", 4L, 11L, 0L, Option.empty[String], -2L, false)
+    ).toDF("tag", "sq", "sec", "nsec", "m", "n", "b")
+    val got = df.orderBy("sq").select(Sinks.influxLine(
+      df, "tag", "sq", "sec", "nsec", Seq("m", "n", "b"))).as[String].collect()
+    assert(got(0) == "t,_seq=3 m=\"a" + bs + "\"b\",n=7,b=TRUE 10000000500")
+    assert(got(1) == "t,_seq=4 n=-2,b=FALSE 11000000000")
+    // Tag_Keys: tagged pair rides in the head, not the field set
+    val tg = df.orderBy("sq").select(Sinks.influxLine(
+      df, "tag", "sq", "sec", "nsec", Seq("m", "n", "b"),
+      taggedKeys = Set("n"))).as[String].collect()
+    assert(tg(1) == "t,_seq=4,n=-2 b=FALSE 11000000000")
+  }
 }
