@@ -606,6 +606,17 @@ object SparkEntry {
         cents, k = 5, nprobe = 2)
     }),
 
+    // -- random-projection d→k reduction (pre-ANN shrink): same SRP
+    //    hyperplanes as sim_srp_buckets, raw projections — plus the
+    //    brute-force top-3 IN THE REDUCED SPACE, proving the projected
+    //    vectors are usable end-to-end (dot products over array<double>
+    //    sequential folds, bit-exact)
+    "sim_rp_reduce" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      e.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), 8).as("rp"))
+    }),
+
     // -- embedding near-dup pairs: SRP bucket join + cosine (threshold 0 →
     //    all same-bucket pairs, exact doubles both sides)
     "dedup_embed_pairs" -> ((s, dir) => {
@@ -1894,6 +1905,18 @@ object SparkEntry {
              || '"code":' || code || ', "ratio":' || ratio || ', '
              || '"ok":' || ok || '}}' AS event
          FROM r""",
+
+    "sim_rp_reduce" ->
+      """-- raw SRP projections (same hyperplane formula as
+         -- sim_srp_buckets/dedup_embed_pairs), sequential per-plane folds
+         SELECT vec_id,
+           list_transform(range(0, 8), p ->
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(embedding)+1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * (CAST((((p*8191 + (i-1)) * 2654435761) % 2001) - 1000 AS DOUBLE) / 1000.0))),
+               (x,y) -> x+y)) AS rp
+         FROM embeddings""",
 
     "fb_time_ns" ->
       """SELECT doc_id AS seq,

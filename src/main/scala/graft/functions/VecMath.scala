@@ -164,6 +164,57 @@ case class L2Squared(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Random-projection dimensionality REDUCTION: the `planes` deterministic
+  * SRP hyperplanes (same weight formula as [[SrpBucket]] — weight (p,d) =
+  * ((p·8191+d)·2654435761 mod 2001 − 1000) / 1000) but returning the RAW
+  * projection vector (array<double>, length `planes`) instead of its sign
+  * bits — the d→k reduce step that runs BEFORE ANN at scale (project once,
+  * index/search in k dims). One fused pass per row; per-plane sums are
+  * sequential folds in element order, bit-reproducible in any engine.
+  */
+case class RandomProject(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val get = VecMath.getter(child.dataType)
+
+  def compute(ao: Any): Any = {
+    val a = ao.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val proj = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = get(a, i)
+      var p = 0
+      while (p < planes) {
+        val w = (((p * 8191L + i) * 2654435761L) % 2001L) - 1000L
+        proj(p) += x * (w.toDouble / 1000.0)
+        p += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(proj)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rp", this, classOf[RandomProject].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.compute($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Sign-random-projection bucket id over `planes` deterministic
   * hyperplanes (weight (p,d) = ((p·8191+d)·2654435761 mod 2001 − 1000)
   * / 1000): ONE pass over the vector accumulates all `planes` projections
@@ -374,6 +425,8 @@ object VecMathFunctions {
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
   def l2sq(a: Column, b: Column): Column =
     GraftShim.column(L2Squared(GraftShim.expression(a), GraftShim.expression(b)))
+  def randomProject(v: Column, planes: Int): Column =
+    GraftShim.column(RandomProject(GraftShim.expression(v), planes))
   def srpBucket(v: Column, planes: Int): Column =
     GraftShim.column(SrpBucket(GraftShim.expression(v), planes))
   def nearestCells(v: Column, centIds: Array[Long], centVecs: Array[Array[Double]],

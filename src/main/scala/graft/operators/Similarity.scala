@@ -87,6 +87,15 @@ object Similarity {
   def srpBucket(vec: Column, planes: Int): Column =
     graft.functions.VecMathFunctions.srpBucket(vec, planes)
 
+  /** Random-projection d→k REDUCTION (the same hyperplanes as
+    * [[srpBucket]], raw projections instead of sign bits): the cheap
+    * pre-ANN shrink at scale — project once in a narrow fused pass, then
+    * index/search in k dims. Sequential per-plane folds → bit-exact in
+    * any engine (oracle sim_rp_reduce).
+    */
+  def randomProject(vec: Column, planes: Int): Column =
+    graft.functions.VecMathFunctions.randomProject(vec, planes)
+
   /** Reference column formulation of [[srpBucket]] (spec cross-check). */
   private[graft] def srpBucketColumns(vec: Column, planes: Int): Column = {
     val terms = (0 until planes).map { p =>

@@ -234,4 +234,23 @@ class SimilaritySpec extends AnyFunSuite {
     // every returned neighbor shares the query's bucket by construction
     assert(out.count() > 0)
   }
+
+  test("randomProject: sign bits of the raw projections == srpBucket; narrow plan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val both = e.select(col("vec_id"),
+      Similarity.randomProject(col("embedding"), 8).as("rp"),
+      Similarity.srpBucket(col("embedding"), 8).as("bucket"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rp = r.getSeq[Double](1)
+      val bucket = r.getLong(2)
+      val fromSigns = rp.zipWithIndex.collect { case (v, p) if v > 0 => 1L << p }.sum
+      assert(fromSigns == bucket, s"vec ${r.getLong(0)}")
+    }
+    // projection is a narrow per-row pass: no Exchange in the plan
+    val plan = both.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
