@@ -330,6 +330,46 @@ object ConfPipeline {
             cached.sparkSession.read.parquet(path)
               .agg(coalesce(sum(col("n_entries")), lit(0L)))
               .collect()(0).getLong(0)
+          // payload-serialization sinks: the network client plugins with
+          // the socket replaced by a text file of the exact request/
+          // payload bytes the reference would send — a migrating user's
+          // [OUTPUT] es/influxdb/splunk/nats/http sections run as-is
+          case "es" | "influxdb" | "splunk" | "nats" | "http" =>
+            val path = o.options.getOrElse("path", s"$outDir/$sinkName")
+            val valueCols = rows.columns.filterNot(c => c == "tag" || c == "ts").toSeq
+            val withTime =
+              if (rows.columns.contains("ts"))
+                rows.withColumn("_sec", col("ts").cast("long"))
+                  .withColumn("_nsec",
+                    (unix_micros(col("ts")) - col("ts").cast("long") * 1000000L) * 1000L)
+              else rows.withColumn("_sec", lit(0L)).withColumn("_nsec", lit(0L))
+            val (frame, line) = o.plugin match {
+              case "es" => (withTime, graft.sinks.Sinks.esBulkChunk(withTime,
+                "_sec", "_nsec", valueCols,
+                index = lit(o.options.getOrElse("index", "fluent-bit")),
+                esType = o.options.getOrElse("type", "flb_type")))
+              case "influxdb" =>
+                // the reference's _seq is arrival order; batch has no
+                // arrival — a deterministic per-tag ordinal stands in
+                // (documented deviation; the LAYOUT is the contract)
+                import org.apache.spark.sql.expressions.Window
+                val seqd = withTime.withColumn("_seq0",
+                  row_number().over(Window.partitionBy(col("tag"))
+                    .orderBy(valueCols.map(col): _*)).cast("long") - 1L)
+                (seqd, graft.sinks.Sinks.influxLine(seqd, "tag", "_seq0",
+                  "_sec", "_nsec", valueCols,
+                  seqName = o.options.getOrElse("sequence_tag", "_seq")))
+              case "splunk" => (withTime,
+                graft.sinks.Sinks.splunkEvent(withTime, "_sec", "_nsec", valueCols))
+              case "nats" => (withTime,
+                graft.sinks.Sinks.natsEntry(withTime, "tag", "_sec", "_nsec", valueCols))
+              case "http" => (withTime, graft.sinks.Sinks.httpJsonRecord(withTime,
+                "_sec", "_nsec", valueCols,
+                dateKey = o.options.getOrElse("json_date_key", "date"),
+                iso8601 = o.options.get("json_date_format").exists(_.equalsIgnoreCase("iso8601"))))
+            }
+            frame.select(line.as("value")).write.mode("overwrite").text(path)
+            rows.count()
           case "counter" | "null" => rows.count()
           case "flowcounter" if rows.columns.contains("ts") =>
             val unit = o.options.getOrElse("unit", "minute")

@@ -290,4 +290,42 @@ class ConfPipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sizeToBytes("1KX"))
     intercept[IllegalArgumentException](sizeToBytes("kb"))
   }
+
+  test("conf es + influxdb outputs write exact payload bytes (socket replaced by file)") {
+    val dir = Files.createTempDirectory("graft-conf-ser").toString
+    mkLog(dir, "app.log", Seq(500))
+    val conf =
+      s"""[INPUT]
+         |    Name   tail
+         |    Path   $dir/*.log
+         |    Tag    sz.*
+         |    Parser apache
+         |
+         |[OUTPUT]
+         |    Name  es
+         |    Match *
+         |    Index logs
+         |    Path  $dir/out_es
+         |
+         |[OUTPUT]
+         |    Name  influxdb
+         |    Match *
+         |    Path  $dir/out_ifx
+         |""".stripMargin
+    val loaded = ConfPipeline.load(spark, conf, parsersConf)
+    val results = ConfPipeline.run(loaded, s"$dir/out").toMap
+    assert(results("es_0") == 1L && results("influxdb_1") == 1L)
+    val es = spark.read.text(s"$dir/out_es").collect().map(_.getString(0)).mkString("\n")
+    // chunk = action line + record json with @timestamp first
+    assert(es.startsWith("{\"index\":{\"_index\":\"logs\",\"_type\":\"flb_type\"}}"))
+    assert(es.contains("{\"@timestamp\":\"2017-07-17T20:17:03.0Z\", "))
+    assert(es.contains("\"code\":500"))
+    val ifx = spark.read.text(s"$dir/out_ifx").collect().map(_.getString(0))
+    assert(ifx.length == 1)
+    // head 'tag,_seq=0', null-skipped k=v fields, ns timestamp tail
+    assert(ifx(0).startsWith("sz."))
+    assert(ifx(0).contains(",_seq=0 "))
+    assert(ifx(0).contains("code=500"))
+    assert(ifx(0).endsWith(" 1500322623000000000"))
+  }
 }
