@@ -607,14 +607,28 @@ object SparkEntry {
     }),
 
     // -- random-projection d→k reduction (pre-ANN shrink): same SRP
-    //    hyperplanes as sim_srp_buckets, raw projections — plus the
-    //    brute-force top-3 IN THE REDUCED SPACE, proving the projected
-    //    vectors are usable end-to-end (dot products over array<double>
-    //    sequential folds, bit-exact)
+    //    hyperplanes as sim_srp_buckets, raw projections (bit-exact
+    //    sequential folds)
     "sim_rp_reduce" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       e.select(col("vec_id"),
         Similarity.randomProject(col("embedding"), 8).as("rp"))
+    }),
+
+    // -- search IN THE REDUCED SPACE: brute-force cosine top-3 over the
+    //    8-dim projections — proves the projected vectors are usable
+    //    end-to-end (project → index → query), all under one independent
+    //    DuckDB re-derivation
+    "sim_rp_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val r = e.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), 8).as("rp"))
+      Similarity.bruteForceTopK(
+        r.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("rp").as("qvec")),
+        "qid", "qvec",
+        r.select(col("vec_id").as("cid"), col("rp").as("cvec")),
+        "cid", "cvec", 3)
     }),
 
     // -- embedding near-dup pairs: SRP bucket join + cosine (threshold 0 →
@@ -1917,6 +1931,32 @@ object SparkEntry {
                       * (CAST((((p*8191 + (i-1)) * 2654435761) % 2001) - 1000 AS DOUBLE) / 1000.0))),
                (x,y) -> x+y)) AS rp
          FROM embeddings""",
+
+    "sim_rp_topk" ->
+      """-- reduced-space search: cosine top-3 over the 8 raw projections,
+         -- the whole chain (project + score + rank) re-derived from the
+         -- raw embeddings
+         WITH rp AS (
+           SELECT vec_id,
+             list_transform(range(0, 8), p ->
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, len(embedding)+1),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * (CAST((((p*8191 + (i-1)) * 2654435761) % 2001) - 1000 AS DOUBLE) / 1000.0))),
+                 (x,y) -> x+y)) AS v
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+               i -> q.v[i] * c.v[i])), (x,y) -> x+y)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+                  i -> q.v[i] * q.v[i])), (x,y) -> x+y))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+                  i -> c.v[i] * c.v[i])), (x,y) -> x+y))) AS cos
+           FROM rp q JOIN rp c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+         SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+           FROM scored) WHERE rn <= 3""",
 
     "fb_time_ns" ->
       """SELECT doc_id AS seq,

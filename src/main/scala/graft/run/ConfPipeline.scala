@@ -287,6 +287,20 @@ object ConfPipeline {
   }
 
   /** Execute the outputs (fan-out: each output sees every matching row). */
+  /** Split the conf frame's optional `ts` into the flb_time (sec, nsec)
+    * envelope columns every byte-format sink consumes.
+    */
+  private def withFlbTime(rows: DataFrame): (DataFrame, Seq[String]) = {
+    val valueCols = rows.columns.filterNot(c => c == "tag" || c == "ts").toSeq
+    val framed =
+      if (rows.columns.contains("ts"))
+        rows.withColumn("_sec", col("ts").cast("long"))
+          .withColumn("_nsec",
+            (unix_micros(col("ts")) - col("ts").cast("long") * 1000000L) * 1000L)
+      else rows.withColumn("_sec", lit(0L)).withColumn("_nsec", lit(0L))
+    (framed, valueCols)
+  }
+
   def run(loaded: Loaded, outDir: String): Seq[(String, Long)] = {
     val cached = loaded.filtered.cache()
     try {
@@ -300,13 +314,7 @@ object ConfPipeline {
             // reference-exact bytes (FileFormat): the record is every key
             // except the tag envelope and the event time, which rides
             // beside the map as flb_time (file.c:210-213)
-            val valueCols = rows.columns.filterNot(c => c == "tag" || c == "ts").toSeq
-            val withTime =
-              if (rows.columns.contains("ts"))
-                rows.withColumn("_sec", col("ts").cast("long"))
-                  .withColumn("_nsec",
-                    (unix_micros(col("ts")) - col("ts").cast("long") * 1000000L) * 1000L)
-              else rows.withColumn("_sec", lit(0L)).withColumn("_nsec", lit(0L))
+            val (withTime, valueCols) = withFlbTime(rows)
             graft.sinks.FileFormat.writeExact(
               withTime, path, fmt, "tag", "_sec", "_nsec", valueCols)
             rows.count()
@@ -331,31 +339,39 @@ object ConfPipeline {
               .agg(coalesce(sum(col("n_entries")), lit(0L)))
               .collect()(0).getLong(0)
           // payload-serialization sinks: the network client plugins with
-          // the socket replaced by a text file of the exact request/
-          // payload bytes the reference would send — a migrating user's
-          // [OUTPUT] es/influxdb/splunk/nats/http sections run as-is
+          // the socket replaced by a text file — ONE reference-exact
+          // record payload per line. Reassembling the request body from
+          // the file is per-plugin (documented here because the reference
+          // framings differ): es = the file bytes verbatim (bulk NDJSON);
+          // influxdb = lines joined with a bare newline; splunk = lines
+          // concatenated with NO separator (splunk.c:130); nats/http =
+          // '[' + lines joined ', ' + ']' (one JSON array per request)
           case "es" | "influxdb" | "splunk" | "nats" | "http" =>
             val path = o.options.getOrElse("path", s"$outDir/$sinkName")
-            val valueCols = rows.columns.filterNot(c => c == "tag" || c == "ts").toSeq
-            val withTime =
-              if (rows.columns.contains("ts"))
-                rows.withColumn("_sec", col("ts").cast("long"))
-                  .withColumn("_nsec",
-                    (unix_micros(col("ts")) - col("ts").cast("long") * 1000000L) * 1000L)
-              else rows.withColumn("_sec", lit(0L)).withColumn("_nsec", lit(0L))
+            val (withTime, valueCols) = withFlbTime(rows)
             val (frame, line) = o.plugin match {
-              case "es" => (withTime, graft.sinks.Sinks.esBulkChunk(withTime,
-                "_sec", "_nsec", valueCols,
-                index = lit(o.options.getOrElse("index", "fluent-bit")),
-                esType = o.options.getOrElse("type", "flb_type")))
+              case "es" =>
+                // esBulkChunk carries its own inner AND trailing newline;
+                // the text writer adds one per row, so strip the trailing
+                // one or the file gains a blank line per record and stops
+                // being a valid bulk body
+                val chunk = graft.sinks.Sinks.esBulkChunk(withTime,
+                  "_sec", "_nsec", valueCols,
+                  index = lit(o.options.getOrElse("index", "fluent-bit")),
+                  esType = o.options.getOrElse("type", "flb_type"))
+                (withTime, chunk.substr(lit(1), length(chunk) - 1))
               case "influxdb" =>
                 // the reference's _seq is arrival order; batch has no
                 // arrival — a deterministic per-tag ordinal stands in
                 // (documented deviation; the LAYOUT is the contract)
                 import org.apache.spark.sql.expressions.Window
+                // order by the full record INCLUDING the event time —
+                // value-only ordering made ties nondeterministic and an
+                // all-tag/ts frame had an empty (illegal) orderBy
                 val seqd = withTime.withColumn("_seq0",
                   row_number().over(Window.partitionBy(col("tag"))
-                    .orderBy(valueCols.map(col): _*)).cast("long") - 1L)
+                    .orderBy(valueCols.map(col) ++ Seq(col("_sec"), col("_nsec")): _*))
+                    .cast("long") - 1L)
                 (seqd, graft.sinks.Sinks.influxLine(seqd, "tag", "_seq0",
                   "_sec", "_nsec", valueCols,
                   seqName = o.options.getOrElse("sequence_tag", "_seq")))

@@ -96,7 +96,7 @@ object FileFormat {
   }
 
   private def printed(c: Column, dt: DataType): Column = render(c, dt, json = false)
-  private def jsonVal(c: Column, dt: DataType): Column = render(c, dt, json = true)
+  private[sinks] def jsonVal(c: Column, dt: DataType): Column = render(c, dt, json = true)
 
   private def interleave(sep: String, parts: Seq[Column]): Seq[Column] =
     parts.flatMap(p => Seq(lit(sep), p)).tail

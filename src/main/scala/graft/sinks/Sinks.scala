@@ -90,15 +90,8 @@ object Sinks {
       date_format(timestamp_seconds(col(secCol)), "yyyy-MM-dd'T'HH:mm:ss"),
       lit("."), col(nsecCol).cast("string"), lit("Z"))
     val pairs = valueCols.map { c =>
-      val v = df.schema(c).dataType match {
-        case StringType => concat(lit("\""), graft.functions.FlbJsonEscape(col(c)), lit("\""))
-        case BooleanType => when(col(c), "true").otherwise("false")
-        case ByteType | ShortType | IntegerType | LongType => col(c).cast("string")
-        case FloatType | DoubleType => format_string("%f", col(c).cast("double"))
-        case other => throw new IllegalArgumentException(s"es bulk value type $other")
-      }
       concat(lit("\"" + c.replace('.', '_') + "\":"),
-        when(col(c).isNull, lit("null")).otherwise(v))
+        FileFormat.jsonVal(col(c), df.schema(c).dataType))
     }
     // empty record: map(0+1) holds only the timestamp entry
     val recordParts =
@@ -148,28 +141,25 @@ object Sinks {
         when(col(c).isNull, lit(null)).otherwise(concat(lit(c + "="), v(c)))): _*),
       ",") // array_join skips nulls → reference's per-record null-skip
     val (tagged, fields) = valueCols.partition(taggedKeys.contains)
+    // null tagged values are skipped like null fields (influxdb.c:171-174
+    // drops NIL before the tagged/field split) — an empty fragment keeps
+    // the head alive instead of null-propagating the whole line
     val headParts =
       Seq(col(tagCol), lit("," + seqName + "="), col(seqCol).cast("string")) ++
-        tagged.map(c => concat(lit("," + c + "="), v(c)))
+        tagged.map(c => when(col(c).isNull, lit(""))
+          .otherwise(concat(lit("," + c + "="), v(c))))
     val head = concat(headParts: _*)
     val ns = (col(secCol).cast("long") * 1000000000L + col(nsecCol).cast("long"))
       .cast("string")
     concat(head, lit(" "), pairs(fields), lit(" "), ns)
   }
 
-  private def jsonFieldPairs(df: DataFrame, valueCols: Seq[String]): Seq[Column] = {
-    import org.apache.spark.sql.types._
+  // one `"k":value` pair per column through FileFormat's msgpack2json
+  // renderer (single type-switch: nested arrays/maps/structs included)
+  private def jsonFieldPairs(df: DataFrame, valueCols: Seq[String]): Seq[Column] =
     valueCols.map { c =>
-      val v = df.schema(c).dataType match {
-        case StringType => concat(lit("\""), graft.functions.FlbJsonEscape(col(c)), lit("\""))
-        case BooleanType => when(col(c), "true").otherwise("false")
-        case ByteType | ShortType | IntegerType | LongType => col(c).cast("string")
-        case FloatType | DoubleType => format_string("%f", col(c).cast("double"))
-        case other => throw new IllegalArgumentException(s"json value type $other")
-      }
-      concat(lit("\"" + c + "\":"), when(col(c).isNull, lit("null")).otherwise(v))
+      concat(lit("\"" + c + "\":"), FileFormat.jsonVal(col(c), df.schema(c).dataType))
     }
-  }
 
   /** One out_nats payload entry (`plugins/out_nats/nats.c:105-150`):
     * `[<%f time>, {"tag":"<tag>", …record}]` — the record map is packed

@@ -315,7 +315,12 @@ class ConfPipelineSpec extends AnyFunSuite {
     val loaded = ConfPipeline.load(spark, conf, parsersConf)
     val results = ConfPipeline.run(loaded, s"$dir/out").toMap
     assert(results("es_0") == 1L && results("influxdb_1") == 1L)
-    val es = spark.read.text(s"$dir/out_es").collect().map(_.getString(0)).mkString("\n")
+    val esLines = spark.read.text(s"$dir/out_es").collect().map(_.getString(0))
+    // one action+record pair per text row, NO blank lines — the file IS a
+    // valid bulk NDJSON body (the chunk's own trailing newline is stripped
+    // before the text writer adds its per-row one)
+    assert(esLines.forall(_.nonEmpty))
+    val es = esLines.mkString("\n")
     // chunk = action line + record json with @timestamp first
     assert(es.startsWith("{\"index\":{\"_index\":\"logs\",\"_type\":\"flb_type\"}}"))
     assert(es.contains("{\"@timestamp\":\"2017-07-17T20:17:03.0Z\", "))
