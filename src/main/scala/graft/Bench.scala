@@ -26,7 +26,7 @@ import graft.sources.TokenTable
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
+  private[graft] def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -99,14 +99,31 @@ object Bench {
     System.err.println(s"[bench] built ${factor}x scaled tables at $outDir")
   }
 
-  private val benchSpec = PipelineSpec(
+  private[graft] val benchSpec = PipelineSpec(
     grep = Seq(Grep.Regex("code", "^5")),
     sinks = TokenTable.Sinks.map((SinkSpec.apply _).tupled))
 
   /** The headline job: full pipeline over the synthetic token table,
     * per-sink aggregates collected. Returns rows/sec.
     */
-  private def pipelineThroughput(spark: SparkSession, inputPath: String, rows: Long): Double = {
+  /** Build-or-reuse the shared synthetic input parquet at the canonical
+    * layout (128 part files) — EVERY tool that touches
+    * `target/bench_input_<rows>` must go through here: split count moves
+    * measured scaling (documented on [[session]]), so a cache populated
+    * with a different layout silently skews whichever tool runs second.
+    * `_SUCCESS` is checked so an interrupted build is rebuilt, not timed.
+    */
+  private[graft] def ensureInput(spark: SparkSession, rows: Long): String = {
+    val path = s"target/bench_input_$rows"
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      System.err.println(s"[bench] building $rows-row input at $path …")
+      TokenTable.synthetic(spark, rows, 128)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  private[graft] def pipelineThroughput(spark: SparkSession, inputPath: String, rows: Long): Double = {
     val dim = spark.range(0, 10)
       .select(concat(lit("web-"), col("id").cast("string"), lit("_default")).as("pod_key"),
         concat(lit("team-"), col("id").cast("string")).as("team"))
@@ -152,10 +169,7 @@ object Bench {
     val spark = session(cpus)
     rawCpu(16, 300) // JIT warm the probe loop (a cold first probe reads low)
     val queriesPhaseProbe = rawCpu(16, 1500)
-    if (!Files.exists(Paths.get(inputPath))) {
-      TokenTable.synthetic(spark, benchRows, 128)
-        .write.mode("overwrite").parquet(inputPath)
-    }
+    ensureInput(spark, benchRows)
     // full-materialization timing: the noop sink consumes EVERY column of
     // every row (count() lets Catalyst prune projection-only queries down
     // to a parquet row-count scan — that timed the scan, not the operator).
@@ -329,11 +343,7 @@ object Bench {
       val bigPath = s"target/bench_input_$bigRows"
       val s = session(32)
       try {
-        if (!Files.exists(Paths.get(bigPath, "_SUCCESS"))) {
-          System.err.println(s"[bench] building $bigRows-row big-block input …")
-          TokenTable.synthetic(s, bigRows, 128)
-            .write.mode("overwrite").parquet(bigPath)
-        }
+        ensureInput(s, bigRows)
         pipelineThroughput(s, bigPath, bigRows) // warm (codegen + file index)
         pipelineThroughput(s, bigPath, bigRows)
       } finally s.stop()

@@ -24,8 +24,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(inputPath)))
-      TokenTable.synthetic(spark, rows, 128).write.mode("overwrite").parquet(inputPath)
+    Bench.ensureInput(spark, rows) // shared canonical input layout
 
     val sinks = TokenTable.Sinks.map((SinkSpec.apply _).tupled)
     val dim = spark.range(0, 10)
