@@ -333,4 +333,45 @@ class ConfPipelineSpec extends AnyFunSuite {
     assert(ifx(0).contains("code=500"))
     assert(ifx(0).endsWith(" 1500322623000000000"))
   }
+
+  test("conf splunk/nats/http outputs write per-record payload lines") {
+    val dir = Files.createTempDirectory("graft-conf-ser2").toString
+    mkLog(dir, "app.log", Seq(500, 404))
+    val conf =
+      s"""[INPUT]
+         |    Name   tail
+         |    Path   $dir/*.log
+         |    Tag    sz.*
+         |    Parser apache
+         |
+         |[OUTPUT]
+         |    Name  splunk
+         |    Match *
+         |    Path  $dir/out_spl
+         |
+         |[OUTPUT]
+         |    Name  nats
+         |    Match *
+         |    Path  $dir/out_nats
+         |
+         |[OUTPUT]
+         |    Name             http
+         |    Match            *
+         |    json_date_format iso8601
+         |    Path             $dir/out_http
+         |""".stripMargin
+    val results = ConfPipeline.run(
+      ConfPipeline.load(spark, conf, parsersConf), s"$dir/out").toMap
+    assert(results("splunk_0") == 2L && results("nats_1") == 2L
+      && results("http_2") == 2L)
+    def lines(p: String) = spark.read.text(p).collect().map(_.getString(0))
+    val spl = lines(s"$dir/out_spl")
+    assert(spl.length == 2 && spl.forall(_.matches("""\{"time":\d+\.\d{6}, "event":\{.*\}\}""")))
+    val nats = lines(s"$dir/out_nats")
+    assert(nats.length == 2 &&
+      nats.forall(_.matches("""\[\d+\.\d{6}, \{"tag":"sz\..*", .*\}\]""")))
+    val http = lines(s"$dir/out_http")
+    assert(http.length == 2 && http.forall(
+      _.matches("""\{"date":"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z", .*\}""")))
+  }
 }
