@@ -712,6 +712,16 @@ object SparkEntry {
       Sampling.samplePortable(d, "doc_id", 10).select(col("doc_id"))
     }),
 
+    // -- stratified per-source mixture: the data-mixing op — three weight
+    //    tiers (src0-3 full, src4-9 half, rest 10%), nested/deterministic
+    "corpus_mix" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val rates = (0 to 3).map(i => s"src$i" -> 100).toMap ++
+        (4 to 9).map(i => s"src$i" -> 50).toMap
+      Sampling.stratifiedSample(d, "doc_id", "source", rates, defaultPct = 10)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // -- token heavy-hitters: corpus-wide frequency top-20 (deterministic
     //    tie-break) — the "what's in my training data" staple
     "text_top_tokens" -> ((s, dir) => {
@@ -1957,6 +1967,15 @@ object SparkEntry {
          SELECT qid, cid, cos, CAST(rn AS INTEGER) AS rank FROM (
            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
            FROM scored) WHERE rn <= 3""",
+
+    "corpus_mix" ->
+      """-- stratified mixture: per-source CASE rate over the same
+         -- portable multiplicative hash as corpus_sample
+         SELECT doc_id, source FROM documents
+         WHERE (doc_id * 2654435761) % 100 <
+           CASE WHEN source IN ('src0','src1','src2','src3') THEN 100
+                WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 50
+                ELSE 10 END""",
 
     "fb_time_ns" ->
       """SELECT doc_id AS seq,

@@ -32,4 +32,24 @@ object Sampling {
 
   def samplePortable(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(hashSamplePortable(df, keyCol, pct))
+
+  /** Stratified per-source sampling — data-MIXTURE construction: each
+    * source keeps its own deterministic rate (web 10%, curated 100%, …),
+    * the standard way training mixes are weighted. Same portable
+    * multiplicative hash as [[samplePortable]], so (a) any engine
+    * reproduces the exact row set, (b) samples NEST across rates (a
+    * source's 10% sample is a subset of its 30% sample — raising a
+    * source's weight only ADDS rows, it never churns the ones already
+    * in the mix), and (c) complements stay disjoint. `pctBySource` is
+    * applied as a deterministic CASE chain (sorted by source so the plan
+    * is stable); unlisted sources fall back to `defaultPct`.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, sourceCol: String,
+                       pctBySource: Map[String, Int],
+                       defaultPct: Int = 0): DataFrame = {
+    val pct = pctBySource.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (src, p)) => when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(col(keyCol) * 2654435761L, lit(100L)) < pct)
+  }
 }

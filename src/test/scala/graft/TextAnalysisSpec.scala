@@ -122,4 +122,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L).fake_width == ((11 * 7 + 13) % 1024) + 1)
     assert(out(2L).head_sum == (255 + 254 + 3)) // unsigned byte arithmetic
   }
+
+  test("stratifiedSample: per-source rates, nested across weights, exact complement") {
+    import graft.operators.Sampling
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val rates10 = Map("src0" -> 10, "src1" -> 0)
+    val rates30 = Map("src0" -> 30, "src1" -> 0)
+    val s10 = Sampling.stratifiedSample(d, "doc_id", "source", rates10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30 = Sampling.stratifiedSample(d, "doc_id", "source", rates30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // raising src0's weight only ADDS rows (nesting), src1 stays empty
+    assert(s10.subsetOf(s30) && s10.nonEmpty)
+    val src1Ids = d.filter(col("source") === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s30.intersect(src1Ids).isEmpty)
+    // default rate applies to unlisted sources
+    val withDefault = Sampling.stratifiedSample(d, "doc_id", "source",
+      Map("src0" -> 0), defaultPct = 100)
+    assert(withDefault.filter(col("source") === "src0").count() == 0)
+    assert(withDefault.count() == d.filter(col("source") =!= "src0").count())
+  }
 }
