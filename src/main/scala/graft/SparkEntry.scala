@@ -722,6 +722,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // -- cross-document repeated SPANS (dedup the substrings, not just
+    //    the docs): every 8-word-gram position whose gram occurs in >1
+    //    distinct document — the boilerplate-removal detection pass
+    "text_repeated_spans" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.crossDocRepeatedSpans(d, "doc_id", "text", 8)
+    }),
+
     // -- token heavy-hitters: corpus-wide frequency top-20 (deterministic
     //    tie-break) — the "what's in my training data" staple
     "text_top_tokens" -> ((s, dir) => {
@@ -1976,6 +1984,17 @@ object SparkEntry {
            CASE WHEN source IN ('src0','src1','src2','src3') THEN 100
                 WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 50
                 ELSE 10 END""",
+
+    "text_repeated_spans" ->
+      """-- cross-doc repeated 8-gram spans: same split/position/gram
+         -- derivation re-run verbatim
+         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+               FROM w, LATERAL unnest(range(1, len(ws)-7+1)) AS t(i)
+               WHERE len(ws) >= 8),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1)
+         SELECT doc_id, CAST(pos AS INTEGER) AS pos, gram
+         FROM g JOIN dup USING (gram)""",
 
     "fb_time_ns" ->
       """SELECT doc_id AS seq,

@@ -282,6 +282,33 @@ object Dedup {
   def simhash(tokens: Column, bits: Int = 16): Column =
     graft.functions.SimHash64(tokens, bits)
 
+  /** Cross-document repeated span DETECTION — the "dedup the substrings,
+    * not just the documents" pass of training-data pipelines (exact
+    * doc-level dedup misses boilerplate shared across otherwise-distinct
+    * pages): every word `n`-gram position whose gram text occurs in MORE
+    * THAN ONE distinct document. Output (id, pos — 1-based word offset,
+    * gram). The shuffle key is the gram itself (≈50 bytes at n=8; a
+    * production variant shuffles xxhash64(gram) — string keys kept here
+    * so the DuckDB oracle re-derives the op verbatim). Rows shorter than
+    * `n` words contribute nothing.
+    */
+  def crossDocRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val positioned = df
+      .filter(size(ws) >= n) // sequence(1, m) DESCENDS for m < 1
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n))))).as(Seq("_p0", "gram")))
+      .select(col(idCol), (col("_p0") + 1).as("pos"), col("gram"))
+    val repeated = positioned.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") > 1)
+      .select(col("gram"))
+    positioned.join(repeated, "gram")
+      .select(col(idCol), col("pos"), col("gram"))
+  }
+
   /** Word n-gram set (distinct) of a text column, '|'-joined grams. */
   def wordNgrams(text: Column, n: Int): Column = {
     val words = split(text, " ")

@@ -165,4 +165,17 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  test("crossDocRepeatedSpans flags shared boilerplate positions, skips short rows") {
+    val docs = Seq(
+      (1L, "a b c d e unique one two three"),
+      (2L, "x a b c d e other words here!"),
+      (3L, "totally different text body words milk toast jam"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocRepeatedSpans(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // 'a b c d e' starts at word 1 of doc 1 and word 2 of doc 2
+    assert(got == Set((1L, 1, "a b c d e"), (2L, 2, "a b c d e")))
+  }
 }
