@@ -730,6 +730,13 @@ object SparkEntry {
       Dedup.crossDocRepeatedSpans(d, "doc_id", "text", 8)
     }),
 
+    // -- repeated-span REMOVAL: flagged grams keep only their canonical
+    //    (min doc, min pos) occurrence; other occurrences' words dropped
+    "text_strip_spans" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.stripRepeatedSpans(d, "doc_id", "text", 8)
+    }),
+
     // -- token heavy-hitters: corpus-wide frequency top-20 (deterministic
     //    tie-break) — the "what's in my training data" staple
     "text_top_tokens" -> ((s, dir) => {
@@ -1995,6 +2002,33 @@ object SparkEntry {
          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1)
          SELECT doc_id, CAST(pos AS INTEGER) AS pos, gram
          FROM g JOIN dup USING (gram)""",
+
+    "text_strip_spans" ->
+      """-- span removal re-derived end-to-end: detection, canonical
+         -- (min doc, min pos) keeper per gram, covered-offset union,
+         -- anti-join, ordered reassembly
+         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+               FROM w, LATERAL unnest(range(1, len(ws)-7+1)) AS t(i)
+               WHERE len(ws) >= 8),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+         sp AS (SELECT doc_id, pos, gram FROM g JOIN dup USING (gram)),
+         keep AS (
+           SELECT gram, doc_id AS kid, pos AS kpos FROM (
+             SELECT gram, doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             FROM sp) WHERE rn = 1),
+         dropw AS (
+           SELECT DISTINCT sp.doc_id, CAST(t.o AS BIGINT) AS w
+           FROM sp JOIN keep USING (gram), LATERAL unnest(range(sp.pos, sp.pos + 8)) AS t(o)
+           WHERE NOT (sp.doc_id = keep.kid AND sp.pos = keep.kpos)),
+         words AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS w, ws[i] AS word
+           FROM w, LATERAL unnest(range(1, len(ws)+1)) AS t(i))
+         SELECT words.doc_id, string_agg(word, ' ' ORDER BY w) AS clean_text
+         FROM words ANTI JOIN dropw
+           ON words.doc_id = dropw.doc_id AND words.w = dropw.w
+         GROUP BY words.doc_id""",
 
     "fb_time_ns" ->
       """SELECT doc_id AS seq,

@@ -309,6 +309,35 @@ object Dedup {
       .select(col(idCol), col("pos"), col("gram"))
   }
 
+  /** Repeated-span REMOVAL — the rewrite step over
+    * [[crossDocRepeatedSpans]]: every flagged gram keeps its canonical
+    * occurrence (lexicographically smallest (doc, pos)) and every OTHER
+    * occurrence's words are dropped; overlapping flagged grams union
+    * their covered offsets. Returns (id, clean_text). Reassembly is a
+    * per-doc sort_array over (pos, word) structs — no window, one
+    * groupBy — so a doc's words never serialize through a single global
+    * partition. A doc whose every word is covered by non-canonical spans
+    * drops out entirely (it was all boilerplate).
+    */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val spans = crossDocRepeatedSpans(df, idCol, textCol, n)
+    val keeper = spans.groupBy(col("gram"))
+      .agg(min(struct(col(idCol), col("pos"))).as("k"))
+    val dropOffsets = spans.join(keeper, "gram")
+      .filter(!(col(idCol) === col(s"k.$idCol") && col("pos") === col("k.pos")))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("w"))
+      .distinct()
+    val words = df
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p0", "word")))
+      .select(col(idCol), (col("_p0") + 1).as("w"), col("word"))
+    words.join(dropOffsets, Seq(idCol, "w"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("w"), col("word")))),
+        s => s.getField("word")), " ").as("clean_text"))
+  }
+
   /** Word n-gram set (distinct) of a text column, '|'-joined grams. */
   def wordNgrams(text: Column, n: Int): Column = {
     val words = split(text, " ")

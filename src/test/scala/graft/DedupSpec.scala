@@ -178,4 +178,19 @@ class DedupSpec extends AnyFunSuite {
     // 'a b c d e' starts at word 1 of doc 1 and word 2 of doc 2
     assert(got == Set((1L, 1, "a b c d e"), (2L, 2, "a b c d e")))
   }
+
+  test("stripRepeatedSpans keeps the canonical occurrence, rewrites the rest") {
+    val docs = Seq(
+      (1L, "a b c d e unique one two three"),
+      (2L, "x a b c d e other words here!"),
+      (3L, "independent text stays fully intact")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripRepeatedSpans(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // doc 1 holds the canonical 'a b c d e' (min doc, min pos) — unchanged;
+    // doc 2 loses exactly those five words; doc 3 untouched
+    assert(got(1L) == "a b c d e unique one two three")
+    assert(got(2L) == "x other words here!")
+    assert(got(3L) == "independent text stays fully intact")
+  }
 }
