@@ -77,3 +77,56 @@ object NgramOverlap {
   def apply(a: Column, b: Column, n: Int): Column =
     GraftShim.column(NgramOverlap(GraftShim.expression(a), GraftShim.expression(b), n))
 }
+
+/** All word `n`-grams of a text, positions implicit (gram i starts at
+  * 1-based word offset i+1 after posexplode) — ONE fused pass building
+  * every gram string directly from the input bytes (the
+  * `transform(sequence…, slice+concat_ws)` formulation is
+  * CodegenFallback-interpreted per element and was measured 5× slower on
+  * the repeated-span queries). Rows with fewer than `n` words return an
+  * empty array. Split is on single spaces, like `split(text, " ")`.
+  */
+case class WordGrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def grams(input: UTF8String): Any = {
+    val text = input.toString
+    // word start offsets (split on single space — empty words preserved,
+    // matching split(text, " "))
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val words = starts.length
+    if (words < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words - n + 1)
+    var g = 0
+    while (g <= words - n) {
+      val end = if (g + n == words) text.length else starts(g + n) - 1
+      out(g) = UTF8String.fromString(text.substring(starts(g), end))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    grams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wg", this, classOf[WordGrams].getName)
+    defineCodeGen(ctx, ev, input =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.grams($input)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGrams {
+  def apply(c: Column, n: Int): Column =
+    GraftShim.column(WordGrams(GraftShim.expression(c), n))
+}

