@@ -443,7 +443,7 @@ object Bench {
          || per-query total (sf tables, steady-state) | ${"%.2f".format(totalSec)} s over ${results.size} queries |
          || per-query total at ${scaledFactor}× scaled tables (cold, single run) | ${"%.2f".format(totalScaledSec)} s over ${scaledResults.size} queries |
          || max per-query growth at ${scaledFactor}× (sub-linear ⇔ ≤ $scaledFactor) | ${"%.1f".format(maxGrowth)}× |
-         || scaled-phase weather ratio (worse scaled-bracket probe ÷ worse 1×-bracket probe; <0.8 ⇒ growth inflated by host throttle) | ${if (scaledFactor > 1) "%.2f".format(scaledWeather) else "n/a (scaled phase disabled)"} |
+         || scaled-phase weather ratio (worse scaled-bracket probe ÷ worse 1×-bracket probe; <0.8 ⇒ growth INFLATED by a throttled scaled phase, >1.25 ⇒ growth DEFLATED by a degraded 1× phase — both invalidate the map) | ${if (scaledFactor > 1) "%.2f".format(scaledWeather) else "n/a (scaled phase disabled)"} |
          || big block: parsed+routed rows/s at $bigRows rows (local[32]) | ${"%,.0f".format(thrBig)} (${"%.0f".format(100 * thrBig / thr32)}% of the ${benchRows}-row rate) |
          |
          |Audited super-linear outlier in the scaled phase:

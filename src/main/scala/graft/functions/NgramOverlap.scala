@@ -88,6 +88,7 @@ object NgramOverlap {
   */
 case class WordGrams(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

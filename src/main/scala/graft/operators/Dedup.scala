@@ -322,7 +322,11 @@ object Dedup {
     */
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
-    val spans = crossDocRepeatedSpans(df, idCol, textCol, n)
+    // materialize detection once: spans feeds BOTH the keeper aggregate
+    // and the covered-offset branch — without this the full gram explode
+    // + gram-keyed aggregation runs twice (same localCheckpoint pattern
+    // as the CC loops)
+    val spans = crossDocRepeatedSpans(df, idCol, textCol, n).localCheckpoint()
     val keeper = spans.groupBy(col("gram"))
       .agg(min(struct(col(idCol), col("pos"))).as("k"))
     val dropOffsets = spans.join(keeper, "gram")
