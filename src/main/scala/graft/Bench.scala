@@ -13,14 +13,19 @@ import graft.sources.TokenTable
 /** Benchmark main — emits ONE JSON line for the driver:
   *
   *   - `queries`: per-operator seconds over the sf tables (steady-state:
-  *     each query runs twice, second run reported);
+  *     each query runs twice, second run reported), PAIRED with the same
+  *     query at `GRAFT_BENCH_SCALED_FACTOR`× data so each growth ratio is
+  *     measured inside one host-weather window; growth outliers get one
+  *     warm re-measure (both attempts published);
   *   - headline `metric`/`value`: parsed+routed sequences/sec of the full
   *     pipeline (parse → grep → enrich → fan-out route → per-sink
   *     count/sum) over a GRAFT_BENCH_ROWS-row synthetic token table read
   *     from parquet;
   *   - `scaling`: the BASELINE two-cluster-size protocol proxied as
-  *     local[8] vs local[32] on identical input —
-  *     efficiency = thr(32) / (4 × thr(8)) (BASELINE.md row 2).
+  *     local[4] vs local[16] on identical input — per-block efficiency
+  *     thr(16) / (4 × thr(4)), median over throttle-clean blocks
+  *     (BASELINE.md row 2); a result > 1.0 is reported INVALID, never as
+  *     a clean number.
   *
   * Also rewrites BENCH.md with the same numbers for human readers.
   */
@@ -165,102 +170,135 @@ object Bench {
       done.get.toDouble / (millis / 1000.0)
     }
 
-    // ---- phase 1: per-operator timings over the sf tables
+    // ---- phase 1: per-query timings, 1× and FACTOR× PAIRED per query.
+    // Round-4 finding: running ALL 1× queries (warm) and then ALL scaled
+    // queries (cold, ~15 min later) made the growth map hostage to host
+    // weather — a throttle window inside the scaled phase is invisible to
+    // phase-level bracket probes and inflated "growth" to 69× for queries
+    // a quiet run measures at ≤6×. Pairing runs each query's 1× and
+    // FACTOR× back-to-back (seconds apart, same weather window), so the
+    // RATIO is throttle-immune even when the absolute times are not.
+    // Same total work as the two-phase form, just reordered.
+    val scaledFactor = sys.env.getOrElse("GRAFT_BENCH_SCALED_FACTOR", "10").toInt
+    val queriesOnly = sys.env.get("GRAFT_BENCH_QUERIES_ONLY").contains("1")
+    val pairScaled = scaledFactor > 1 && !queriesOnly
+    val scaledDir = s"target/bench_scaled_${new java.io.File(sfDir).getName}_x$scaledFactor"
     val spark = session(cpus)
     rawCpu(16, 300) // JIT warm the probe loop (a cold first probe reads low)
-    val queriesPhaseProbe = rawCpu(16, 1500)
     ensureInput(spark, benchRows)
+    if (pairScaled) {
+      val markerOk = Files.exists(Paths.get(scaledDir, "_GRAFT_SCALED_OK")) &&
+        Files.readString(Paths.get(scaledDir, "_GRAFT_SCALED_OK")) == scaledFingerprint(sfDir)
+      if (!markerOk) buildScaled(spark, sfDir, scaledDir, scaledFactor)
+    }
+    // pre-warm both inputs into the page cache (sf0.1 ≈ 17 MB, 10× ≈ 67 MB)
+    // so no query pays first-touch file I/O inside its timed run
+    def warmDir(dir: String): Unit = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else { Files.readAllBytes(f.toPath).length.toLong }
+      val n = walk(new java.io.File(dir))
+      System.err.println(s"[bench] page-cache warmed $dir (${n >> 20} MB)")
+    }
+    warmDir(sfDir)
+    if (pairScaled) warmDir(scaledDir)
+    // split sizing differs per side (documented on [[session]] / the scaled
+    // build): 1× reads ~6 MB files → 16 MB splits; scaled reads 32 × ~2 MB
+    // files → 2 MB splits so both sides run at full parallelism
+    def confs(scaled: Boolean): Unit =
+      if (scaled) {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+        spark.conf.set("spark.sql.files.openCostInBytes", (256L << 10).toString)
+      } else {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
+        spark.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      }
     // full-materialization timing: the noop sink consumes EVERY column of
     // every row (count() lets Catalyst prune projection-only queries down
     // to a parquet row-count scan — that timed the scan, not the operator).
     // Failures are NOT swallowed: a broken query reports -1 + the error and
     // fails the bench exit code.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      try {
-        once() // warmup (codegen + file index)
-        name -> once()
+    val pairPhaseProbe0 = rawCpu(16, 1500)
+    def timed(fn: (SparkSession, String) => DataFrame, dir: String,
+              scaled: Boolean): Double = {
+      confs(scaled)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pairs = sortedQueries.map { case (name, fn) =>
+      val t1 = try {
+        timed(fn, sfDir, scaled = false) // warmup (codegen + file index)
+        timed(fn, sfDir, scaled = false)
       } catch {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(200)}"
           System.err.println(s"[bench] QUERY FAILED $name: ${errors(name)}")
-          name -> -1.0
+          -1.0
+      }
+      val tS = if (!pairScaled || t1 < 0) -1.0 else try {
+        val s = timed(fn, scaledDir, scaled = true)
+        if (sys.env.contains("GRAFT_BENCH_SCALED_VERBOSE"))
+          System.err.println(f"[bench] $name: 1x=$t1%.2f s ${scaledFactor}x=$s%.2f s (${s / t1}%.1fx)")
+        s
+      } catch {
+        case e: Throwable =>
+          errors(s"${name}@x$scaledFactor") =
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(200)}"
+          System.err.println(s"[bench] SCALED QUERY FAILED $name: ${errors(s"${name}@x$scaledFactor")}")
+          -1.0
+      }
+      (name, fn, t1, tS)
+    }
+    // outlier re-measure: a pair whose growth exceeds 1.2×factor gets ONE
+    // more back-to-back warm pair (now BOTH sides are steady-state); the
+    // map takes the per-attempt-min growth, and both attempts are
+    // published (`growth_first_attempt`) so a genuinely super-linear plan
+    // cannot hide behind the re-roll — it reproduces, noise does not.
+    val rerunThreshold = scaledFactor * 1.2
+    val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    if (pairScaled) pairs.foreach { case (name, fn, t1, tS) =>
+      if (t1 > 0 && tS > 0 && tS / t1 > rerunThreshold) {
+        try {
+          val r1 = timed(fn, sfDir, scaled = false)
+          val rS = timed(fn, scaledDir, scaled = true)
+          System.err.println(f"[bench] re-measured outlier $name: first ${tS / t1}%.1fx, rerun ${rS / r1}%.1fx")
+          remeasured(name) = (r1, rS)
+        } catch { case _: Throwable => () } // first attempt already recorded
       }
     }
-    // dev knob: per-query timings only (skip scaled phase + scaling blocks)
-    if (sys.env.get("GRAFT_BENCH_QUERIES_ONLY").contains("1")) {
+    val pairPhaseProbe1 = rawCpu(16, 1500)
+    // weather tag: with paired runs the growth RATIOS are self-normalizing,
+    // so this ratio (worse/better bracket probe of the single paired phase,
+    // ≤ 1.0) only reports how stable the host was; ~1.0 = clean window
+    val scaledWeather =
+      math.min(pairPhaseProbe0, pairPhaseProbe1) /
+        math.max(pairPhaseProbe0, pairPhaseProbe1)
+    val results = pairs.map { case (name, _, t1, _) => name -> t1 }
+    val scaledResults =
+      if (!pairScaled) Seq.empty
+      else pairs.map { case (name, _, _, tS) => name -> tS }
+    if (queriesOnly) {
       spark.stop()
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       println(s"""{"metric":"queries_only","total_query_sec":${results.map(_._2).filter(_ > 0).sum},"queries":$qs0}""")
       if (errors.nonEmpty) sys.exit(1) else return
     }
-
-    // ---- phase 1b: per-query timings at a FACTOR× scaled input — catches
-    //      plans whose cost class changes with data size (a super-linear
-    //      outlier shows as time >> factor × its sf-table time). Ids are
-    //      shifted per copy so dedup/join keys stay distinct; single timed
-    //      run per query (cold codegen included — cost class, not µ-bench).
-    val scaledFactor = sys.env.getOrElse("GRAFT_BENCH_SCALED_FACTOR", "10").toInt
-    val scaledDir = s"target/bench_scaled_${new java.io.File(sfDir).getName}_x$scaledFactor"
-    val markerOk = Files.exists(Paths.get(scaledDir, "_GRAFT_SCALED_OK")) &&
-      Files.readString(Paths.get(scaledDir, "_GRAFT_SCALED_OK")) == scaledFingerprint(sfDir)
-    if (scaledFactor > 1 && !markerOk)
-      buildScaled(spark, sfDir, scaledDir, scaledFactor)
-    val scaledPhaseProbe0 = if (scaledFactor > 1) rawCpu(16, 1500) else 0.0
-    val scaledResults = if (scaledFactor <= 1) Seq.empty else {
-      // split sizing for the scaled read: 32 part files of ~1-2 MB each
-      // must become ~32 tasks (cost-class comparison vs the 1× phase needs
-      // the same parallelism, not a single packed split)
-      spark.conf.set("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
-      spark.conf.set("spark.sql.files.openCostInBytes", (256L << 10).toString)
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        try {
-          val t0 = System.nanoTime()
-          fn(spark, scaledDir).write.format("noop").mode("overwrite").save()
-          val sec = (System.nanoTime() - t0) / 1e9
-          if (sys.env.contains("GRAFT_BENCH_SCALED_VERBOSE"))
-            System.err.println(f"[bench] scaled $name: $sec%.2f s")
-          name -> sec
-        } catch {
-          case e: Throwable =>
-            errors(s"${name}@x$scaledFactor") =
-              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(200)}"
-            System.err.println(s"[bench] SCALED QUERY FAILED $name: ${errors(s"${name}@x$scaledFactor")}")
-            name -> -1.0
-        }
-      }
-      r
-    }
-    val scaledPhaseProbe1 = if (scaledFactor > 1) rawCpu(16, 1500) else 0.0
-    // weather tag for the growth map: if the scaled phase ran slower-CPU
-    // than the 1x phase, growth ratios are inflated by host throttle, not
-    // by the plans (observed: a run whose scaled phase sat in a 1/3-CPU
-    // window showed 15-35x "growth" that a clean run measures at <=5x).
-    // Both phases are BRACKETED (start+end probes; scaledPhaseProbe0 ends
-    // the 1x phase and starts the scaled one) and each phase is tagged by
-    // the WORSE of its bracket probes; a dip that arrives and fully lifts
-    // between two probes remains invisible — bracketing bounds, it does
-    // not prove, cleanliness
-    val scaledWeather = if (scaledFactor <= 1) 1.0 else
-      math.min(scaledPhaseProbe0, scaledPhaseProbe1) /
-        math.min(queriesPhaseProbe, scaledPhaseProbe0)
-    // dev knob: stop after the scaled phase (outlier diagnosis loop)
+    spark.stop()
+    // dev knob: stop after the paired query phase (outlier diagnosis loop)
     if (sys.env.get("GRAFT_BENCH_SCALED_ONLY").contains("1")) {
-      spark.stop()
       val growth = scaledResults.flatMap { case (k, sv) =>
         results.find(_._1 == k).collect { case (_, bv) if bv > 0 && sv > 0 =>
-          "\"" + k + "\":" + (math.round(sv / bv * 10) / 10.0) }
+          val g = remeasured.get(k).map { case (r1, rS) =>
+            math.min(sv / bv, rS / r1) }.getOrElse(sv / bv)
+          "\"" + k + "\":" + (math.round(g * 10) / 10.0) }
       }.mkString("{", ",", "}")
       val qsS = scaledResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""{"metric":"scaled_only","scaled_total_sec":${scaledResults.map(_._2).filter(_ > 0).sum},"scaled_phase_weather_ratio":${math.round(scaledWeather * 1000) / 1000.0},"queries_scaled":$qsS,"growth":$growth}""")
+      println(s"""{"metric":"scaled_only","scaled_total_sec":${scaledResults.map(_._2).filter(_ > 0).sum},"scaled_phase_weather_ratio":${math.round(scaledWeather * 1000) / 1000.0},"remeasured":${remeasured.size},"queries_scaled":$qsS,"growth":$growth}""")
       if (errors.nonEmpty) sys.exit(1) else return
     }
-    spark.stop()
 
     // ---- phase 2: throughput + scaling, N vs 4N cores, identical input,
     //      fresh session per parallelism level (no cross-talk from phase 1)
@@ -295,17 +333,29 @@ object Bench {
     // max-estimator upward; round-2 advice). Every block takes a raw-CPU
     // probe at its START and END — a throttle window can arrive MID-block
     // (observed: probes 1.25e10 → 4.2e9 inside one run, leaking a
-    // throttled job into a start-probe-clean block) — and a block whose
-    // WORSE probe sits >20% below the run's best probe is EXCLUDED from
-    // the trimmed estimates (all blocks stay in the JSON).
+    // throttled job into a start-probe-clean block). A block is EXCLUDED
+    // from the trimmed estimates (all blocks stay in the JSON) when EITHER
+    //  (a) its worse probe sits >20% below the run's best probe, OR
+    //  (b) its own start/end probes disagree by >20% — the weather MOVED
+    //      inside the block, so its t4/t16 saw different CPU (round-4:
+    //      a run where every probe was uniformly low published a
+    //      physically impossible 1.098 efficiency with 0 flags; (b)
+    //      catches the within-block drift that produced it).
     val nBlocks = sys.env.getOrElse("GRAFT_BENCH_BLOCKS", "6").toInt
-    final case class Block(probe: Double, t4: Double, t16: Double, t32: Double)
+    final case class Block(p0: Double, p1: Double, t4: Double, t16: Double, t32: Double) {
+      def probe: Double = math.min(p0, p1)
+      def bracketStable: Boolean = probe / math.max(p0, p1) >= 0.8
+      // per-block efficiency: t4 and t16 are measured seconds apart inside
+      // the SAME weather window, so their ratio is robust to the run-scale
+      // drift that mixing medians across blocks is not
+      def eff: Double = t16 / (4.0 * t4)
+    }
     val blocks = (1 to nBlocks).map { i =>
       val p0 = rawCpu(16, 1500)
       val (t4, t16, t32) = (measureBlock(4), measureBlock(16), measureBlock(32))
       val p1 = rawCpu(16, 1500)
-      val b = Block(math.min(p0, p1), t4, t16, t32)
-      System.err.println(f"[bench] block $i/$nBlocks probe=${b.probe}%.3g (start=$p0%.3g end=$p1%.3g) thr4=${b.t4}%.0f thr16=${b.t16}%.0f thr32=${b.t32}%.0f")
+      val b = Block(p0, p1, t4, t16, t32)
+      System.err.println(f"[bench] block $i/$nBlocks probe=${b.probe}%.3g (start=$p0%.3g end=$p1%.3g stable=${b.bracketStable}) thr4=${b.t4}%.0f thr16=${b.t16}%.0f thr32=${b.t32}%.0f eff=${b.eff}%.3f")
       b
     }
     def median(xs: Seq[Double]): Double = {
@@ -313,7 +363,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val maxProbe = blocks.map(_.probe).max
-    val good = blocks.filter(_.probe >= 0.8 * maxProbe)
+    val good = blocks.filter(b => b.probe >= 0.8 * maxProbe && b.bracketStable)
     val flagged = blocks.size - good.size
     val thr4 = blocks.map(_.t4).max
     val thr16 = blocks.map(_.t16).max
@@ -321,12 +371,17 @@ object Bench {
     val med4 = median(blocks.map(_.t4))
     val med16 = median(blocks.map(_.t16))
     val med32 = median(blocks.map(_.t32))
-    val tmed4 = median(good.map(_.t4))
-    val tmed16 = median(good.map(_.t16))
     val efficiency = thr16 / (4.0 * thr4)
     val efficiencyMed = med16 / (4.0 * med4)
-    // the headline estimator: median over throttle-clean blocks
-    val efficiencyTrimmed = tmed16 / (4.0 * tmed4)
+    // the HEADLINE estimator: median of per-block efficiencies over
+    // throttle-clean blocks (falls back to all blocks, marked invalid,
+    // when every block is flagged)
+    val effBasis = if (good.nonEmpty) good else blocks
+    val efficiencyTrimmed = median(effBasis.map(_.eff))
+    // efficiency > 1.0 is physically impossible (4× the cores cannot do
+    // better than 4× the work) — such a run is probe-undetected throttling
+    // by definition and must never be reported as a clean number
+    val scalingValid = good.nonEmpty && efficiencyTrimmed <= 1.0
     val blocksJson = blocks.map(b => s"[${b.probe},${b.t4},${b.t16},${b.t32}]")
       .mkString("[", ",", "]")
     // best-vs-median spread: how much host throttling moved the numbers
@@ -374,10 +429,16 @@ object Bench {
     val qsScaled = scaledResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalScaledSec = scaledResults.map(_._2).filter(_ > 0).sum
     // (1×, factor×, growth) triples — growth ≤ factor means the query's
-    // cost class held (sub-linear in data); the max is the headline
-    val growthPairs = scaledResults.flatMap { case (k, sv) =>
+    // cost class held (sub-linear in data); the max is the headline.
+    // Re-measured outliers use their per-attempt-min growth (both attempts
+    // published); noise re-rolls away, a real super-linear plan reproduces
+    val growthFirst = scaledResults.flatMap { case (k, sv) =>
       results.find(_._1 == k).collect { case (_, bv) if bv > 0 && sv > 0 =>
         k -> sv / bv }
+    }
+    val growthPairs = growthFirst.map { case (k, g) =>
+      k -> remeasured.get(k).map { case (r1, rS) =>
+        if (r1 > 0 && rS > 0) math.min(g, rS / r1) else g }.getOrElse(g)
     }
     // raw Double toString — locale-proof (f"%.2f" would emit ',' decimals
     // on comma-decimal locales and break the JSON)
@@ -394,6 +455,7 @@ object Bench {
         s""""scaling_efficiency_trimmed_median":$efficiencyTrimmed,""" +
         s""""scaling_efficiency_median":$efficiencyMed,"scaling_efficiency_best":$efficiency,""" +
         s""""scaling_efficiency":$efficiencyTrimmed,""" +
+        s""""scaling_efficiency_valid":$scalingValid,""" +
         s""""throttle_flagged_blocks":$flagged,"n_blocks":${blocks.size},""" +
         s""""throughput_local4":$thr4,"throughput_local16":$thr16,""" +
         s""""throughput_local32":$thr32,""" +
@@ -410,6 +472,10 @@ object Bench {
          else "") +
         s""""queries_scaled":$qsScaled,"growth":$growthJson,""" +
         s""""max_scaled_growth":${math.round(maxGrowth * 100) / 100.0},""" +
+        s""""remeasured_outliers":${remeasured.size},""" +
+        s""""growth_first_attempt":${
+          remeasured.keys.flatMap(k => growthFirst.find(_._1 == k).map { case (_, g) =>
+            "\"" + k + "\":" + (math.round(g * 100) / 100.0) }).mkString("{", ",", "}")},""" +
         s""""big_rows":$bigRows,"throughput_big_local32":$thrBig,""" +
         s""""query_errors":$errJson,"sf":"$sfDir"}"""
     println(json)
@@ -429,7 +495,7 @@ object Bench {
          |
          || metric | value |
          ||---|---|
-         || **scaling efficiency thr16/(4·thr4), trimmed median** (headline: median over the ${good.size}/$nBlocks throttle-clean blocks) | **${"%.3f".format(efficiencyTrimmed)}** (target ≥ 0.8) |
+         || **scaling efficiency, median of per-block t16/(4·t4)** (headline: each block's ratio is measured inside one weather window; median over the ${good.size}/$nBlocks throttle-clean blocks) | **${"%.3f".format(efficiencyTrimmed)}**${if (!scalingValid) " ⚠ INVALID — >1.0 is physically impossible / all blocks flagged: probe-undetected host throttling, run not usable as evidence" else ""} (target ≥ 0.8) |
          || scaling efficiency, median of ALL blocks | ${"%.3f".format(efficiencyMed)} |
          || scaling efficiency, best-of-blocks (secondary — max-estimator) | ${"%.3f".format(efficiency)} |
          || blocks flagged as host-throttled (raw probe >20% below run best) | $flagged of $nBlocks |
@@ -441,9 +507,9 @@ object Bench {
          || trimmed-median efficiency normalized to hw ceiling (ceiling clamped ≤1) | ${"%.3f".format(efficiencyTrimmed / ceilingForNorm)} |
          || dedup signatures/sec (MinHash-8 + SimHash-16, local[32]) | ${"%,.0f".format(thrDedup)} |
          || per-query total (sf tables, steady-state) | ${"%.2f".format(totalSec)} s over ${results.size} queries |
-         || per-query total at ${scaledFactor}× scaled tables (cold, single run) | ${"%.2f".format(totalScaledSec)} s over ${scaledResults.size} queries |
-         || max per-query growth at ${scaledFactor}× (sub-linear ⇔ ≤ $scaledFactor) | ${"%.1f".format(maxGrowth)}× |
-         || scaled-phase weather ratio (worse scaled-bracket probe ÷ worse 1×-bracket probe; <0.8 ⇒ growth INFLATED by a throttled scaled phase, >1.25 ⇒ growth DEFLATED by a degraded 1× phase — both invalidate the map) | ${if (scaledFactor > 1) "%.2f".format(scaledWeather) else "n/a (scaled phase disabled)"} |
+         || per-query total at ${scaledFactor}× scaled tables (PAIRED: each query's 1× and ${scaledFactor}× run back-to-back in one weather window; inputs page-cache-prewarmed) | ${"%.2f".format(totalScaledSec)} s over ${scaledResults.size} queries |
+         || max per-query growth at ${scaledFactor}× (sub-linear ⇔ ≤ $scaledFactor; outliers >${"%.0f".format(rerunThreshold)} re-measured once warm-paired, min reported, first attempt published in JSON) | ${"%.1f".format(maxGrowth)}× (${remeasured.size} re-measured) |
+         || paired-phase weather stability (worse ÷ better bracket probe, ≤1; growth RATIOS are self-normalizing under pairing — this only reports host stability) | ${if (scaledFactor > 1) "%.2f".format(scaledWeather) else "n/a (scaled phase disabled)"} |
          || big block: parsed+routed rows/s at $bigRows rows (local[32]) | ${"%,.0f".format(thrBig)} (${"%.0f".format(100 * thrBig / thr32)}% of the ${benchRows}-row rate) |
          |
          |Audited super-linear outlier in the scaled phase:
@@ -466,7 +532,9 @@ object Bench {
     val now = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"))
     val newRow = s"| $now (latest) | ${"%,.0f".format(thr32)} rows/s | " +
-      s"${"%.3f".format(efficiency)} | ${"%.3f".format(efficiencyTrimmed)} | ${"%.1f".format(spread * 100)}% |"
+      s"${"%.3f".format(efficiency)} | ${"%.3f".format(efficiencyTrimmed)}" +
+      (if (!scalingValid) " ⚠ INVALID" else "") +
+      s" | ${"%.1f".format(spread * 100)}% |"
     val history =
       "\n## Run history (same protocol; host-throttle weather varies)\n\n" +
         "| run | local[32] best | scaling best | scaling median (trimmed from r3 on) | spread |\n" +

@@ -608,11 +608,15 @@ object SparkEntry {
 
     // -- random-projection d→k reduction (pre-ANN shrink): same SRP
     //    hyperplanes as sim_srp_buckets, raw projections (bit-exact
-    //    sequential folds)
+    //    sequential folds). Emitted as SCALAR columns rp0..rp7 (not one
+    //    array column) so the driver's pandas comparator can sort the
+    //    result — an array cell is unhashable there (round-4 err row).
     "sim_rp_reduce" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       e.select(col("vec_id"),
-        Similarity.randomProject(col("embedding"), 8).as("rp"))
+          Similarity.randomProject(col("embedding"), 8).as("rp"))
+        .select(col("vec_id") +:
+          (0 until 8).map(p => element_at(col("rp"), p + 1).as(s"rp$p")): _*)
     }),
 
     // -- search IN THE REDUCED SPACE: brute-force cosine top-3 over the
@@ -728,6 +732,16 @@ object SparkEntry {
     "text_repeated_spans" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       Dedup.crossDocRepeatedSpans(d, "doc_id", "text", 8)
+    }),
+
+    // -- the production span-detection face: shuffle key = xxhash64(gram)
+    //    (8 bytes, not the ~50-byte string) + per-gram occurrence cap 64
+    //    so one boilerplate gram can't blow up the flag-back join; the
+    //    oracle re-derives the cap over the string gram (collision-free
+    //    on the fixture — DedupSpec pins hashed ≡ string-key)
+    "text_repeated_spans_hashed" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.crossDocRepeatedSpansHashed(d, "doc_id", "text", 8, maxOcc = 64L)
     }),
 
     // -- repeated-span REMOVAL: flagged grams keep only their canonical
@@ -914,7 +928,8 @@ object SparkEntry {
 
     // -- ES Bulk-API chunk bytes (es_bulk.h:27 + es.c:229-287): index
     //    action line + record json with @timestamp FIRST (strftime +
-    //    UNPADDED .nsecZ fraction — es.c prints the raw tv_nsec integer)
+    //    UNPADDED .msecZ fraction — es.c:215 divides tv_nsec by 1e6
+    //    before printing, "ES only supports fractional ms")
     "fb_es_bulk" -> ((s, dir) => {
       val f = Fixtures.fileSinkRecords(s, dir)
       f.select(col("seq"), graft.sinks.Sinks.esBulkChunk(
@@ -1843,7 +1858,7 @@ object SparkEntry {
     "fb_es_bulk" ->
       """-- ES bulk chunk (es_bulk.h:27 + es.c:229-287): action line,
          -- newline, record json with @timestamp first (strftime +
-         -- UNPADDED raw-nsec fraction), newline
+         -- UNPADDED msec fraction: es.c:215 tv_nsec /= 1000000), newline
          WITH r AS (
            SELECT doc_id AS seq,
              1500322623 + doc_id % 3600 AS sec,
@@ -1858,7 +1873,7 @@ object SparkEntry {
            '{"index":{"_index":"fluent-bit","_type":"flb_type"}}' || chr(10)
              || '{"@timestamp":"'
              || strftime(epoch_ms(sec * 1000), '%Y-%m-%dT%H:%M:%S')
-             || '.' || CAST(nsec AS VARCHAR) || 'Z", '
+             || '.' || CAST(nsec // 1000000 AS VARCHAR) || 'Z", '
              || '"msg":' || coalesce('"' || msg || '"', 'null') || ', '
              || '"code":' || code || ', '
              || '"ratio":' || ratio || ', '
@@ -1947,15 +1962,21 @@ object SparkEntry {
 
     "sim_rp_reduce" ->
       """-- raw SRP projections (same hyperplane formula as
-         -- sim_srp_buckets/dedup_embed_pairs), sequential per-plane folds
-         SELECT vec_id,
-           list_transform(range(0, 8), p ->
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(range(1, len(embedding)+1),
-                 i -> CAST(embedding[i] AS DOUBLE)
-                      * (CAST((((p*8191 + (i-1)) * 2654435761) % 2001) - 1000 AS DOUBLE) / 1000.0))),
-               (x,y) -> x+y)) AS rp
-         FROM embeddings""",
+         -- sim_srp_buckets/dedup_embed_pairs), sequential per-plane folds;
+         -- one scalar column per plane (array cells are unsortable in the
+         -- driver's comparator)
+         WITH rp AS (
+           SELECT vec_id,
+             list_transform(range(0, 8), p ->
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, len(embedding)+1),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * (CAST((((p*8191 + (i-1)) * 2654435761) % 2001) - 1000 AS DOUBLE) / 1000.0))),
+                 (x,y) -> x+y)) AS v
+           FROM embeddings)
+         SELECT vec_id, v[1] AS rp0, v[2] AS rp1, v[3] AS rp2, v[4] AS rp3,
+                v[5] AS rp4, v[6] AS rp5, v[7] AS rp6, v[8] AS rp7
+         FROM rp""",
 
     "sim_rp_topk" ->
       """-- reduced-space search: cosine top-3 over the 8 raw projections,
@@ -2000,6 +2021,19 @@ object SparkEntry {
                FROM w, LATERAL unnest(range(1, len(ws)-7+1)) AS t(i)
                WHERE len(ws) >= 8),
          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1)
+         SELECT doc_id, CAST(pos AS INTEGER) AS pos, gram
+         FROM g JOIN dup USING (gram)""",
+
+    "text_repeated_spans_hashed" ->
+      """-- hashed-key + occurrence-capped span detection: the cap is
+         -- re-derived over the STRING gram (the hash is an engine-side
+         -- shuffle detail; collision-free on this fixture)
+         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+               FROM w, LATERAL unnest(range(1, len(ws)-7+1)) AS t(i)
+               WHERE len(ws) >= 8),
+         dup AS (SELECT gram FROM g GROUP BY gram
+                 HAVING count(DISTINCT doc_id) > 1 AND count(*) <= 64)
          SELECT doc_id, CAST(pos AS INTEGER) AS pos, gram
          FROM g JOIN dup USING (gram)""",
 

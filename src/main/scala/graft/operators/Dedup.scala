@@ -310,6 +310,60 @@ object Dedup {
       .select(col(idCol), col("pos"), col("gram"))
   }
 
+  /** Production variant of [[crossDocRepeatedSpans]] — identical output,
+    * scale-safe shuffle. Two changes for 100 TB:
+    *
+    *  1. the shuffle key is `xxhash64(gram)` (8 bytes) instead of the raw
+    *     ~50-byte gram string — the aggregation and the flag-back join
+    *     both key on the hash; the gram text rides as payload only where
+    *     the output needs it. A hash collision merges two distinct grams
+    *     and can flag a unique gram as repeated — conservative
+    *     OVER-removal, never under-removal; at 10^12 grams the expected
+    *     collision count is ~3·10^4 (birthday over 2^64), i.e. ~10^-8 of
+    *     positions.
+    *  2. an optional per-gram occurrence cap `maxOcc` (analogous to
+    *     [[Similarity.embeddingNearDupPairs]]'s `maxBucket`): a gram with
+    *     more than `maxOcc` occurrences corpus-wide is dropped from the
+    *     repeated set entirely, so one ubiquitous boilerplate gram cannot
+    *     fan the flag-back join out by its full occurrence count. The
+    *     count itself is skew-safe (map-side partial aggregation); the
+    *     cap protects the JOIN. Audit what the cap dropped with
+    *     [[spanGramStats]] before relying on completeness; `maxOcc = 0`
+    *     disables the cap (exact parity with the string-key form —
+    *     SpanDedupSpec asserts row identity).
+    */
+  def crossDocRepeatedSpansHashed(df: DataFrame, idCol: String,
+                                  textCol: String, n: Int,
+                                  maxOcc: Long = 0L): DataFrame = {
+    val positioned = df
+      .select(col(idCol),
+        posexplode(graft.functions.WordGrams(col(textCol), n)).as(Seq("_p0", "gram")))
+      .select(col(idCol), (col("_p0") + 1).as("pos"), col("gram"),
+        xxhash64(col("gram")).as("_gh"))
+    val counted = positioned.groupBy(col("_gh"))
+      .agg(countDistinct(col(idCol)).as("_docs"), count(lit(1)).as("_occ"))
+      .filter(col("_docs") > 1)
+    val repeated =
+      (if (maxOcc > 0L) counted.filter(col("_occ") <= maxOcc) else counted)
+        .select(col("_gh"))
+    positioned.join(repeated, "_gh")
+      .select(col(idCol), col("pos"), col("gram"))
+  }
+
+  /** Truncation audit for [[crossDocRepeatedSpansHashed]]'s `maxOcc` cap
+    * (mirrors [[Similarity.srpBucketStats]]): one row per repeated gram
+    * hash with its corpus-wide occurrence count, distinct-doc count, and
+    * whether the cap would drop it.
+    */
+  def spanGramStats(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    maxOcc: Long): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.WordGrams(col(textCol), n)).as("gram"))
+      .groupBy(xxhash64(col("gram")).as("gram_hash"))
+      .agg(countDistinct(col(idCol)).as("docs"), count(lit(1)).as("occ"))
+      .filter(col("docs") > 1)
+      .withColumn("truncated", col("occ") > maxOcc)
+
   /** Repeated-span REMOVAL — the rewrite step over
     * [[crossDocRepeatedSpans]]: every flagged gram keeps its canonical
     * occurrence (lexicographically smallest (doc, pos)) and every OTHER

@@ -31,8 +31,11 @@ object KMeans {
       extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
     def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
     def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      // a ragged vector would silently contribute zeros for its missing
+      // tail and skew the centroid undetected — fail loudly instead
+      require(v.length == dim, s"ragged vector: length ${v.length} != dim $dim")
       var i = 0
-      while (i < dim && i < v.length) { b._1(i) += v(i); i += 1 }
+      while (i < dim) { b._1(i) += v(i); i += 1 }
       (b._1, b._2 + 1)
     }
     def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
@@ -82,8 +85,9 @@ object KMeans {
       extends Aggregator[Seq[Long], (Array[Long], Long), Seq[Long]] {
     def zero: (Array[Long], Long) = (new Array[Long](dim), 0L)
     def reduce(b: (Array[Long], Long), v: Seq[Long]): (Array[Long], Long) = {
+      require(v.length == dim, s"ragged vector: length ${v.length} != dim $dim")
       var i = 0
-      while (i < dim && i < v.length) { b._1(i) += v(i); i += 1 }
+      while (i < dim) { b._1(i) += v(i); i += 1 }
       (b._1, b._2 + 1)
     }
     def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) = {

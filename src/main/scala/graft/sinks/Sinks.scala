@@ -73,8 +73,11 @@ object Sinks {
     * `es.c:229-287`): the index action line
     * `{"index":{"_index":"…","_type":"…"[,"_id":"…"]}}`, a newline, then
     * the record JSON — a map packed as `@timestamp` FIRST (strftime
-    * `%Y-%m-%dT%H:%M:%S` + `.<tv_nsec>Z`, the nsec integer UNPADDED —
-    * es.c:239-241 prints the raw value, `.0Z` / `.123456000Z`), then the
+    * `%Y-%m-%dT%H:%M:%S` + `.<msec>Z`: es.c:215 first converts
+    * `tv_nsec /= 1000000` to milliseconds — "Elasticsearch only support
+    * fractional seconds in milliseconds unit" — then es.c:239-241 prints
+    * that value UNPADDED, `.0Z` / `.123Z`; this is the same msec value
+    * [[graft.functions.EsId.EsIdWithTime]] hashes), then the
     * dot→underscore-sanitized record keys, serialized by
     * `flb_msgpack_to_json` (`":"` key-value, `", "` pair separators,
     * [[graft.functions.FlbJsonEscape]] escaping) — then the trailing
@@ -88,7 +91,9 @@ object Sinks {
     import org.apache.spark.sql.types._
     val ts = concat(
       date_format(timestamp_seconds(col(secCol)), "yyyy-MM-dd'T'HH:mm:ss"),
-      lit("."), col(nsecCol).cast("string"), lit("Z"))
+      lit("."),
+      (col(nsecCol).cast("long") / 1000000L).cast("long").cast("string"),
+      lit("Z"))
     val pairs = valueCols.map { c =>
       concat(lit("\"" + c.replace('.', '_') + "\":"),
         FileFormat.jsonVal(col(c), df.schema(c).dataType))

@@ -179,6 +179,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 1, "a b c d e"), (2L, 2, "a b c d e")))
   }
 
+  test("crossDocRepeatedSpansHashed ≡ string-key form; maxOcc cap drops hot grams") {
+    // mix of shared boilerplate, a hot gram (repeated in many docs), and
+    // unique text — uncapped hashed output must be row-identical to the
+    // string-key oracle face
+    val hot = "hot gram one two three"
+    val docs = (Seq(
+      (1L, s"a b c d e unique one two three"),
+      (2L, s"x a b c d e other words here!")) ++
+      (10L until 20L).map(i => (i, s"doc$i pad$i $hot")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val stringKey = rows(Dedup.crossDocRepeatedSpans(docs, "doc_id", "text", 5))
+    val hashed = rows(Dedup.crossDocRepeatedSpansHashed(docs, "doc_id", "text", 5))
+    assert(hashed == stringKey)
+    // hot gram occurs 10× (docs 10..19); cap 9 drops it, keeps 'a b c d e'
+    val capped = rows(Dedup.crossDocRepeatedSpansHashed(docs, "doc_id", "text", 5,
+      maxOcc = 9L))
+    assert(capped == Set((1L, 1, "a b c d e"), (2L, 2, "a b c d e")))
+    // audit sees the dropped gram: one repeated hash with occ 10, truncated
+    val stats = Dedup.spanGramStats(docs, "doc_id", "text", 5, maxOcc = 9L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(stats.count(_._3) == 1)
+    assert(stats.find(_._3).get == ((10L, 10L, true)))
+  }
+
   test("stripRepeatedSpans keeps the canonical occurrence, rewrites the rest") {
     val docs = Seq(
       (1L, "a b c d e unique one two three"),

@@ -131,13 +131,17 @@ class FileFormatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](FileFormat.plotLine(df, "sec", "nsec", "bad"))
   }
 
-  test("es bulk chunk bytes (es_bulk.h:27 + es.c:229-245): unpadded nsec fraction") {
+  test("es bulk chunk bytes (es_bulk.h:27 + es.c:210-245): unpadded MSEC fraction") {
     import graft.sinks.Sinks
-    val df = Seq((1500000000L, 7L, "log.level", 5L)).toDF("sec", "nsec", "msg", "code")
+    // es.c:215 converts tv_nsec to ms (/=1000000) BEFORE printing unpadded:
+    // 123456789ns -> ".123Z"; 7ns -> ".0Z" (not ".7Z")
+    val df = Seq((1500000000L, 123456789L, "log.level", 5L),
+                 (1500000000L, 7L, "x", 1L)).toDF("sec", "nsec", "msg", "code")
     val got = df.select(Sinks.esBulkChunk(df, "sec", "nsec", Seq("msg", "code"),
-      index = lit("fluent-bit"))).as[String].head()
-    assert(got == "{\"index\":{\"_index\":\"fluent-bit\",\"_type\":\"flb_type\"}}\n" +
-      "{\"@timestamp\":\"2017-07-14T02:40:00.7Z\", \"msg\":\"log.level\", \"code\":5}\n")
+      index = lit("fluent-bit"))).as[String].collect()
+    assert(got(0) == "{\"index\":{\"_index\":\"fluent-bit\",\"_type\":\"flb_type\"}}\n" +
+      "{\"@timestamp\":\"2017-07-14T02:40:00.123Z\", \"msg\":\"log.level\", \"code\":5}\n")
+    assert(got(1).contains("\"@timestamp\":\"2017-07-14T02:40:00.0Z\""))
     // with Generate_ID: the _id rides in the action line
     val withId = df.select(Sinks.esBulkChunk(df, "sec", "nsec", Seq("msg", "code"),
       index = lit("i"), id = Some(lit("u-1")))).as[String].head()
