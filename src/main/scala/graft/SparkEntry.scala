@@ -344,6 +344,36 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).as("sum_cents"))
     }),
 
+    // -- scripted (lua-protocol) filter: the reference cb(tag, ts, record)
+    //    drop/keep/replace protocol (filter_lua/lua.c:333-393) over a
+    //    registered Scala function (no Lua VM offline — SURVEY §2.7
+    //    deviation); the callback is deterministic arithmetic so DuckDB
+    //    re-derives the drop set and the rewrites independently
+    "fb_scripted" -> ((s, dir) => {
+      import graft.operators.Scripted
+      Scripted.LuaRegistry.register("bench.lua:cb_bench", (_, ts, rec) => {
+        if (rec("code").startsWith("5")) (-1, ts, rec) // drop 5xx-class codes
+        else if (rec("seq").toLong % 10 == 0)
+          (1, ts, rec.updated("msg",
+            Option(rec("msg")).map(_.toUpperCase + " [scripted]").orNull))
+        else (0, ts, rec)
+      })
+      val f = Fixtures.fileSinkRecords(s, dir)
+      Scripted.applyLua(f, Scripted.LuaRegistry.resolve("bench.lua", "cb_bench"))
+        .select(col("seq"), col("msg"), col("code"), col("ok"))
+    }),
+
+    // -- out_kafka per-record topic selection (kafka.c:104-133): topic =
+    //    record[Topic_Key] if present else the configured default; the
+    //    per-topic routed-row count is the driver-checkable face
+    "fb_kafka_topic" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).withColumn("topic_key",
+        when(col("seq") % 3 === 0,
+          concat(lit("t-"), (col("seq") % 4).cast("string"))))
+      f.groupBy(graft.sinks.Sinks.kafkaTopic(col("topic_key"), "logs").as("topic"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // -- classic aggregates / joins / windows (engine breadth)
     "q1_agg" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -800,6 +830,16 @@ object SparkEntry {
 
     // -- multimodal plumbing: binary column → batched decode stub
     "multimodal_features" -> ((s, dir) => Multimodal.featuresFrame(s, dir)),
+
+    // -- REAL header decode: docs wrapped in a minimal PNG container whose
+    //    IHDR dims derive from doc_id; the engine recovers width/height
+    //    FROM THE BYTES (core.ImageHeader), the oracle re-derives them
+    //    from the id formula — two independent paths, same numbers
+    "multimodal_image_dims" -> ((s, dir) => {
+      Multimodal.decodeFeatures(Multimodal.pngRecords(s, dir)).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("head_sum"),
+          col("width"), col("height"))
+    }),
 
     // -- multimodal resize: binary payload REWRITTEN in the batched map
     //    (stub resampler = every-kth-byte); oracle recomputes the output
@@ -1301,6 +1341,31 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS wstart, count(*) AS cnt,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1""",
+
+    "fb_scripted" ->
+      """-- lua-protocol scripted filter re-derived: drop code LIKE '5%',
+         -- rewrite msg on seq%10=0 (NULL msg stays NULL — the callback's
+         -- Option map), keep the rest
+         WITH r AS (
+           SELECT doc_id AS seq,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS msg,
+             (doc_id * 37) % 1009 AS code,
+             doc_id % 2 = 0 AS ok
+           FROM documents)
+         SELECT seq,
+           CASE WHEN seq % 10 = 0 THEN upper(msg) || ' [scripted]'
+                ELSE msg END AS msg,
+           code, ok
+         FROM r WHERE CAST(code AS VARCHAR) NOT LIKE '5%'""",
+
+    "fb_kafka_topic" ->
+      """-- kafka Topic_Key selection: record topic if present else default
+         SELECT coalesce(CASE WHEN doc_id % 3 = 0
+                              THEN 't-' || CAST(doc_id % 4 AS VARCHAR) END,
+                         'logs') AS topic,
+                count(*) AS cnt
+         FROM documents GROUP BY 1""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -2159,8 +2224,20 @@ object SparkEntry {
            CAST(length(text) AS BIGINT) AS n_bytes,
            CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
              i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS head_sum,
-           CAST((length(text)*7 + 13) % 1024 + 1 AS INTEGER) AS fake_width,
-           CAST((length(text)*13 + 7) % 1024 + 1 AS INTEGER) AS fake_height
+           CAST((length(text)*7 + 13) % 1024 + 1 AS INTEGER) AS width,
+           CAST((length(text)*13 + 7) % 1024 + 1 AS INTEGER) AS height
+         FROM documents""",
+
+    "multimodal_image_dims" ->
+      """-- PNG container: 33-byte header (8 sig + 4 len + 'IHDR' + 13 data
+         -- + 4 crc) then the raw text payload; head_sum = Σ of the first
+         -- 16 header bytes = sig(425) + len(13) + 'IHDR'(295) = 733 for
+         -- every row; dims re-derived from the generator's id formula
+         SELECT doc_id,
+           CAST(length(text) + 33 AS BIGINT) AS n_bytes,
+           CAST(733 AS BIGINT) AS head_sum,
+           CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 768 + 1 AS INTEGER) AS height
          FROM documents"""
   )
 }

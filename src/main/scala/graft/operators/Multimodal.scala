@@ -29,23 +29,28 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       head_sum: Long, // Σ of first 16 byte values (unsigned)
-      fake_width: Int, // deterministic stand-ins for decoded dims
-      fake_height: Int)
+      width: Int, // REAL header-derived dims for PNG/JPEG/GIF payloads;
+      height: Int) // deterministic stub values otherwise
 
   object DecodeStub {
-    /** STUB decoder — deterministic fake of the real codec call.
-      * Real implementation would be: decode bytes → pixels/samples →
-      * feature extraction (resize, frame-sample, mel-spectrogram, …).
+    /** Half-real decoder: width/height come from the ACTUAL bytes when the
+      * payload carries a PNG/JPEG/GIF header ([[graft.core.ImageHeader]] —
+      * pure JVM, no codec libs); everything past the header (pixel decode,
+      * resample, mel-spectrogram, …) remains a deterministic STUB, so
+      * unrecognized payloads fall back to the stub dimension formula.
       */
     def decode(r: MediaRecord): MediaFeatures = {
       val head = r.media.take(16).foldLeft(0L)((a, b) => a + (b & 0xff))
+      val (w, h) = graft.core.ImageHeader.parse(r.media).getOrElse(
+        (((r.media.length * 7 + 13) % 1024).toInt + 1,
+          ((r.media.length * 13 + 7) % 1024).toInt + 1))
       MediaFeatures(
         doc_id = r.doc_id,
         kind = r.kind,
         n_bytes = r.media.length.toLong,
         head_sum = head,
-        fake_width = ((r.media.length * 7 + 13) % 1024).toInt + 1,
-        fake_height = ((r.media.length * 13 + 7) % 1024).toInt + 1)
+        width = w,
+        height = h)
     }
   }
 
@@ -113,6 +118,22 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         encode(col("text"), "UTF-8").as("media"))
       .as[MediaRecord]
+  }
+
+  /** Demo source with REAL image headers: every document's bytes wrapped
+    * in a minimal PNG container whose IHDR dims derive from the doc id —
+    * [[decodeFeatures]] must then recover width/height FROM THE BYTES,
+    * which the DuckDB oracle cross-derives from the id formula (two
+    * independent paths to the same numbers).
+    */
+  def pngRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, "image", graft.core.ImageHeader.pngWrap(
+          text.getBytes("UTF-8"), (id % 1024).toInt + 1, (id % 768).toInt + 1))
+      }
   }
 
   /** DataFrame face of the full pipeline (source → batched decode). */

@@ -119,8 +119,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     val out = decodeFeatures(ds).collect().map(f => f.doc_id -> f).toMap
     assert(out(1L).n_bytes == 11L)
     assert(out(1L).head_sum == "hello world".getBytes("UTF-8").map(_ & 0xff).sum)
-    assert(out(1L).fake_width == ((11 * 7 + 13) % 1024) + 1)
+    assert(out(1L).width == ((11 * 7 + 13) % 1024) + 1) // no header → stub dims
     assert(out(2L).head_sum == (255 + 254 + 3)) // unsigned byte arithmetic
+  }
+
+  test("image header decode: PNG/JPEG/GIF dims from real bytes, stub fallback") {
+    import graft.core.ImageHeader
+    // PNG: the pngWrap container round-trips its IHDR dims
+    val png = ImageHeader.pngWrap("payload".getBytes("UTF-8"), 640, 480)
+    assert(ImageHeader.parse(png).contains((640, 480)))
+    // JPEG: SOI + APP0 stub segment + SOF0 (height 7, width 9)
+    val jpeg = Array[Int](
+      0xff, 0xd8,             // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4 (2 payload bytes)
+      0xff, 0xc0, 0x00, 0x0b, // SOF0, len 11
+      0x08,                   // precision
+      0x00, 0x07, 0x00, 0x09, // height 7, width 9
+      0x01, 0x01, 0x11, 0x00  // 1 component
+    ).map(_.toByte)
+    assert(ImageHeader.parse(jpeg).contains((9, 7)))
+    // GIF: little-endian logical screen 300×200
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x2c, 0x01, 0xc8, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(ImageHeader.parse(gif).contains((300, 200)))
+    // no signature → None (decode falls back to the stub formula)
+    assert(ImageHeader.parse("just some text".getBytes("UTF-8")).isEmpty)
+    // decodeFeatures uses the REAL dims for a headered payload
+    import Multimodal._
+    val ds = spark.createDataset(Seq(MediaRecord(9L, "image", png)))
+    val f = decodeFeatures(ds).collect().head
+    assert(f.width == 640 && f.height == 480)
+    assert(f.n_bytes == 33L + 7L)
   }
 
   test("stratifiedSample: per-source rates, nested across weights, exact complement") {
