@@ -266,7 +266,15 @@ object Bench {
           val rS = timed(fn, scaledDir, scaled = true)
           System.err.println(f"[bench] re-measured outlier $name: first ${tS / t1}%.1fx, rerun ${rS / r1}%.1fx")
           remeasured(name) = (r1, rS)
-        } catch { case _: Throwable => () } // first attempt already recorded
+        } catch {
+          // a failed re-roll is an ERROR, not a silent fall-back to the
+          // first attempt — it would make the ".md says outliers were
+          // re-measured" claim false for this query; fatal errors propagate
+          case scala.util.control.NonFatal(e) =>
+            errors(s"${name}@rerun") =
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(200)}"
+            System.err.println(s"[bench] RERUN FAILED $name: ${errors(s"${name}@rerun")}")
+        }
       }
     }
     val pairPhaseProbe1 = rawCpu(16, 1500)
@@ -296,7 +304,7 @@ object Bench {
           "\"" + k + "\":" + (math.round(g * 10) / 10.0) }
       }.mkString("{", ",", "}")
       val qsS = scaledResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""{"metric":"scaled_only","scaled_total_sec":${scaledResults.map(_._2).filter(_ > 0).sum},"scaled_phase_weather_ratio":${math.round(scaledWeather * 1000) / 1000.0},"remeasured":${remeasured.size},"queries_scaled":$qsS,"growth":$growth}""")
+      println(s"""{"metric":"scaled_only","scaled_total_sec":${scaledResults.map(_._2).filter(_ > 0).sum},"scaled_phase_weather_ratio":${math.round(scaledWeather * 1000) / 1000.0},"remeasured_outliers":${remeasured.size},"queries_scaled":$qsS,"growth":$growth}""")
       if (errors.nonEmpty) sys.exit(1) else return
     }
 
@@ -498,7 +506,7 @@ object Bench {
          || **scaling efficiency, median of per-block t16/(4·t4)** (headline: each block's ratio is measured inside one weather window; median over the ${good.size}/$nBlocks throttle-clean blocks) | **${"%.3f".format(efficiencyTrimmed)}**${if (!scalingValid) " ⚠ INVALID — >1.0 is physically impossible / all blocks flagged: probe-undetected host throttling, run not usable as evidence" else ""} (target ≥ 0.8) |
          || scaling efficiency, median of ALL blocks | ${"%.3f".format(efficiencyMed)} |
          || scaling efficiency, best-of-blocks (secondary — max-estimator) | ${"%.3f".format(efficiency)} |
-         || blocks flagged as host-throttled (raw probe >20% below run best) | $flagged of $nBlocks |
+         || blocks flagged as host-throttled (worse probe >20% below run best OR a block's own start/end probes disagreeing >20%) | $flagged of $nBlocks |
          || parsed+routed sequences/sec (local[32], warm, best) | ${"%,.0f".format(thr32)} |
          || throughput local[4] (best / median of $nBlocks blocks) | ${"%,.0f".format(thr4)} / ${"%,.0f".format(med4)} rows/s |
          || throughput local[16] (best / median) | ${"%,.0f".format(thr16)} / ${"%,.0f".format(med16)} rows/s |

@@ -20,8 +20,9 @@ object BigProbe {
       val path = Bench.ensureInput(spark, rows)
       val first = Bench.pipelineThroughput(spark, path, rows)
       val warm = Bench.pipelineThroughput(spark, path, rows)
-      val firstKey = if (preexisting) "cold_first_pass" else "first_pass_cache_warm"
-      println(s"""{"metric":"bigprobe_rows_per_sec","rows":$rows,"$firstKey":$first,"input_preexisted":$preexisting,"value":$warm}""")
+      // fixed keys: first_pass_cold says whether the first pass was an
+      // honest cold read (input pre-existed) or cache-warm (just built)
+      println(s"""{"metric":"bigprobe_rows_per_sec","rows":$rows,"first_pass":$first,"first_pass_cold":$preexisting,"value":$warm}""")
     } finally spark.stop()
   }
 }

@@ -12,7 +12,8 @@ package graft
 object QueryDebug {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // `explain` is a flag, not a dir — dir is the first non-flag arg
+    val dir = args.drop(1).find(_ != "explain").getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Bench.session(cpus)
     val fn = SparkEntry.queries(name)

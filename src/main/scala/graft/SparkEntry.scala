@@ -344,6 +344,16 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).as("sum_cents"))
     }),
 
+    // -- in_dummy source face (in_dummy.c:36-61): n copies of a fixed
+    //    record with sequenced timestamps — the driver-checkable face of
+    //    the seeded dev source (in_random stays spec-only: Spark's rand()
+    //    is partitioning-dependent, not engine-portable)
+    "fb_dummy" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      graft.sources.Generators.dummy(s, n, Map("message" -> "dummy"))
+        .select(col("ts"), element_at(col("record"), "message").as("message"))
+    }),
+
     // -- scripted (lua-protocol) filter: the reference cb(tag, ts, record)
     //    drop/keep/replace protocol (filter_lua/lua.c:333-393) over a
     //    registered Scala function (no Lua VM offline — SURVEY §2.7
@@ -1341,6 +1351,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS wstart, count(*) AS cnt,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1""",
+
+    "fb_dummy" ->
+      """-- in_dummy: fixed record, 1/s sequenced timestamps from BaseEpoch
+         -- (epoch_ms, not to_timestamp — the latter returns TIMESTAMPTZ)
+         SELECT epoch_ms((1500322623 + doc_id) * 1000) AS ts,
+                'dummy' AS message
+         FROM documents""",
 
     "fb_scripted" ->
       """-- lua-protocol scripted filter re-derived: drop code LIKE '5%',

@@ -48,19 +48,27 @@ object ImageHeader {
 
   private def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
     var i = 2
-    while (i + 9 < b.length) {
+    while (i + 1 < b.length) {
       // fill bytes: any number of FFs may pad before a marker (T.81 §B.1.1.2)
       if ((b(i) & 0xff) != 0xff) return None
       var j = i + 1
       while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
-      if (j + 8 >= b.length) return None
+      if (j >= b.length) return None
       val m = b(j) & 0xff
-      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        // SOF dims read through j+7 — a header-only buffer ending exactly
+        // at the width field is valid
+        if (j + 8 > b.length) return None
         return Some((be16(b, j + 6), be16(b, j + 4))) // (width, height)
+      }
       if (m == 0xd9 || m == 0xda) return None // EOI / scan data: no SOF seen
-      val segLen = be16(b, j + 1)
-      if (segLen < 2) return None
-      i = j + 1 + segLen
+      if (m >= 0xd0 && m <= 0xd7 || m == 0x01) i = j + 1 // RST/TEM: no length
+      else {
+        if (j + 2 >= b.length) return None
+        val segLen = be16(b, j + 1)
+        if (segLen < 2) return None
+        i = j + 1 + segLen
+      }
     }
     None
   }

@@ -316,11 +316,13 @@ object Dedup {
     *  1. the shuffle key is `xxhash64(gram)` (8 bytes) instead of the raw
     *     ~50-byte gram string — the aggregation and the flag-back join
     *     both key on the hash; the gram text rides as payload only where
-    *     the output needs it. A hash collision merges two distinct grams
-    *     and can flag a unique gram as repeated — conservative
-    *     OVER-removal, never under-removal; at 10^12 grams the expected
-    *     collision count is ~3·10^4 (birthday over 2^64), i.e. ~10^-8 of
-    *     positions.
+    *     the output needs it. A hash collision merges two distinct grams:
+    *     with the cap disabled that only ever ADDS flags (a unique gram
+    *     can read as repeated — conservative over-removal); with a cap,
+    *     merged occurrence counts can also push a legitimately-repeated
+    *     gram OVER the cap and drop it. Either way the error rate is the
+    *     collision rate: ~3·10^4 expected colliding gram pairs at 10^12
+    *     grams (birthday over 2^64), i.e. ~10^-8 of positions.
     *  2. an optional per-gram occurrence cap `maxOcc` (analogous to
     *     [[Similarity.embeddingNearDupPairs]]'s `maxBucket`): a gram with
     *     more than `maxOcc` occurrences corpus-wide is dropped from the
@@ -330,7 +332,7 @@ object Dedup {
     *     cap protects the JOIN. Audit what the cap dropped with
     *     [[spanGramStats]] before relying on completeness; `maxOcc = 0`
     *     disables the cap (exact parity with the string-key form —
-    *     SpanDedupSpec asserts row identity).
+    *     DedupSpec asserts row identity).
     */
   def crossDocRepeatedSpansHashed(df: DataFrame, idCol: String,
                                   textCol: String, n: Int,

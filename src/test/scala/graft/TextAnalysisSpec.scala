@@ -138,6 +138,10 @@ class TextAnalysisSpec extends AnyFunSuite {
       0x01, 0x01, 0x11, 0x00  // 1 component
     ).map(_.toByte)
     assert(ImageHeader.parse(jpeg).contains((9, 7)))
+    // header-only buffer ending EXACTLY at the width field is valid
+    val jpegMin = Array[Int](0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08,
+      0x00, 0x07, 0x00, 0x09).map(_.toByte)
+    assert(ImageHeader.parse(jpegMin).contains((9, 7)))
     // GIF: little-endian logical screen 300×200
     val gif = "GIF89a".getBytes("US-ASCII") ++
       Array[Int](0x2c, 0x01, 0xc8, 0x00, 0x00, 0x00).map(_.toByte)
