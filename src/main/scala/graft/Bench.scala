@@ -170,6 +170,32 @@ object Bench {
       done.get.toDouble / (millis / 1000.0)
     }
 
+    // memory-BANDWIDTH probe: per-thread stream-sum over a 16 MB long
+    // array (far past L2), one read per 64-byte line. The ALU busy-loop
+    // misses host windows that throttle DRAM but not compute — run 14 had
+    // a block with CLEAN busy-loop probes and 0.44 job efficiency; the
+    // job is memory-bound, the probe was not. Returns bytes/sec.
+    lazy val memArrays = Array.fill(16)(new Array[Long](2 << 20))
+    def rawMem(nThreads: Int = 16, millis: Long = 1200): Double = {
+      val done = new java.util.concurrent.atomic.AtomicLong
+      val stop = System.nanoTime() + millis * 1000000L
+      val ts = (0 until nThreads).map { t =>
+        new Thread(() => {
+          val a = memArrays(t)
+          var s = 0L
+          var bytes = 0L
+          while (System.nanoTime() < stop) {
+            var i = 0
+            while (i < a.length) { s += a(i); i += 8 }
+            bytes += a.length.toLong * 8
+          }
+          if (s != Long.MinValue) done.addAndGet(bytes)
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      done.get.toDouble / (millis / 1000.0)
+    }
+
     // ---- phase 1: per-query timings, 1× and FACTOR× PAIRED per query.
     // Round-4 finding: running ALL 1× queries (warm) and then ALL scaled
     // queries (cold, ~15 min later) made the growth map hostage to host
@@ -342,28 +368,37 @@ object Bench {
     // probe at its START and END — a throttle window can arrive MID-block
     // (observed: probes 1.25e10 → 4.2e9 inside one run, leaking a
     // throttled job into a start-probe-clean block). A block is EXCLUDED
-    // from the trimmed estimates (all blocks stay in the JSON) when EITHER
-    //  (a) its worse probe sits >20% below the run's best probe, OR
-    //  (b) its own start/end probes disagree by >20% — the weather MOVED
-    //      inside the block, so its t4/t16 saw different CPU (round-4:
-    //      a run where every probe was uniformly low published a
-    //      physically impossible 1.098 efficiency with 0 flags; (b)
-    //      catches the within-block drift that produced it).
+    // from the trimmed estimates (all blocks stay in the JSON) when ANY of
+    //  (a) its worse ALU probe sits >20% below the run's best, OR
+    //  (b) its own start/end probes (ALU or mem) disagree by >20% — the
+    //      weather MOVED inside the block, so its t4/t16 saw different
+    //      CPU (round-4: a run where every probe was uniformly low
+    //      published a physically impossible 1.098 efficiency with 0
+    //      flags; (b) catches the within-block drift that produced it), OR
+    //  (c) its worse MEMORY-BANDWIDTH probe sits >20% below the run's
+    //      best — DRAM throttle windows are invisible to the ALU loop
+    //      (run 14: clean ALU probes, 0.44 job efficiency).
     val nBlocks = sys.env.getOrElse("GRAFT_BENCH_BLOCKS", "6").toInt
-    final case class Block(p0: Double, p1: Double, t4: Double, t16: Double, t32: Double) {
+    final case class Block(p0: Double, p1: Double, m0: Double, m1: Double,
+                           t4: Double, t16: Double, t32: Double) {
       def probe: Double = math.min(p0, p1)
-      def bracketStable: Boolean = probe / math.max(p0, p1) >= 0.8
+      def memProbe: Double = math.min(m0, m1)
+      def bracketStable: Boolean =
+        probe / math.max(p0, p1) >= 0.8 && memProbe / math.max(m0, m1) >= 0.8
       // per-block efficiency: t4 and t16 are measured seconds apart inside
       // the SAME weather window, so their ratio is robust to the run-scale
       // drift that mixing medians across blocks is not
       def eff: Double = t16 / (4.0 * t4)
     }
+    rawMem(16, 200) // JIT warm
     val blocks = (1 to nBlocks).map { i =>
       val p0 = rawCpu(16, 1500)
+      val m0 = rawMem()
       val (t4, t16, t32) = (measureBlock(4), measureBlock(16), measureBlock(32))
       val p1 = rawCpu(16, 1500)
-      val b = Block(p0, p1, t4, t16, t32)
-      System.err.println(f"[bench] block $i/$nBlocks probe=${b.probe}%.3g (start=$p0%.3g end=$p1%.3g stable=${b.bracketStable}) thr4=${b.t4}%.0f thr16=${b.t16}%.0f thr32=${b.t32}%.0f eff=${b.eff}%.3f")
+      val m1 = rawMem()
+      val b = Block(p0, p1, m0, m1, t4, t16, t32)
+      System.err.println(f"[bench] block $i/$nBlocks probe=${b.probe}%.3g (start=$p0%.3g end=$p1%.3g) mem=${b.memProbe / 1e9}%.1f GB/s (start=${m0 / 1e9}%.1f end=${m1 / 1e9}%.1f) stable=${b.bracketStable} thr4=${b.t4}%.0f thr16=${b.t16}%.0f thr32=${b.t32}%.0f eff=${b.eff}%.3f")
       b
     }
     def median(xs: Seq[Double]): Double = {
@@ -371,7 +406,9 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val maxProbe = blocks.map(_.probe).max
-    val good = blocks.filter(b => b.probe >= 0.8 * maxProbe && b.bracketStable)
+    val maxMemProbe = blocks.map(_.memProbe).max
+    val good = blocks.filter(b => b.probe >= 0.8 * maxProbe &&
+      b.memProbe >= 0.8 * maxMemProbe && b.bracketStable)
     val flagged = blocks.size - good.size
     val thr4 = blocks.map(_.t4).max
     val thr16 = blocks.map(_.t16).max
@@ -390,7 +427,9 @@ object Bench {
     // better than 4× the work) — such a run is probe-undetected throttling
     // by definition and must never be reported as a clean number
     val scalingValid = good.nonEmpty && efficiencyTrimmed <= 1.0
-    val blocksJson = blocks.map(b => s"[${b.probe},${b.t4},${b.t16},${b.t32}]")
+    // block tuple: [aluProbe, t4, t16, t32, memProbeBytesPerSec] — the mem
+    // probe rides 5th to keep the historical 4-element prefix readable
+    val blocksJson = blocks.map(b => s"[${b.probe},${b.t4},${b.t16},${b.t32},${b.memProbe}]")
       .mkString("[", ",", "]")
     // best-vs-median spread: how much host throttling moved the numbers
     val spread = Seq(thr4 -> med4, thr16 -> med16, thr32 -> med32)
@@ -471,6 +510,7 @@ object Bench {
         s""""throughput_local32_median":$med32,""" +
         s""""best_vs_median_spread":$spread,"blocks":$blocksJson,""" +
         s""""raw_cpu_scaling_ceiling_4_to_16":$rawCeiling,""" +
+        s""""raw_mem_bandwidth_best_gbs":${math.round(maxMemProbe / 1e8) / 10.0},""" +
         s""""scaling_efficiency_vs_hw_ceiling":${efficiencyTrimmed / ceilingForNorm},""" +
         s""""dedup_signature_rows_per_sec":$thrDedup,"total_query_sec":$totalSec,""" +
         s""""queries":$qs,""" +
@@ -506,7 +546,7 @@ object Bench {
          || **scaling efficiency, median of per-block t16/(4·t4)** (headline: each block's ratio is measured inside one weather window; median over the ${good.size}/$nBlocks throttle-clean blocks) | **${"%.3f".format(efficiencyTrimmed)}**${if (!scalingValid) " ⚠ INVALID — >1.0 is physically impossible / all blocks flagged: probe-undetected host throttling, run not usable as evidence" else ""} (target ≥ 0.8) |
          || scaling efficiency, median of ALL blocks | ${"%.3f".format(efficiencyMed)} |
          || scaling efficiency, best-of-blocks (secondary — max-estimator) | ${"%.3f".format(efficiency)} |
-         || blocks flagged as host-throttled (worse probe >20% below run best OR a block's own start/end probes disagreeing >20%) | $flagged of $nBlocks |
+         || blocks flagged as host-throttled (worse ALU or MEM-BANDWIDTH probe >20% below run best, or a block's own bracket probes disagreeing >20%) | $flagged of $nBlocks (best mem probe ${"%.1f".format(maxMemProbe / 1e9)} GB/s) |
          || parsed+routed sequences/sec (local[32], warm, best) | ${"%,.0f".format(thr32)} |
          || throughput local[4] (best / median of $nBlocks blocks) | ${"%,.0f".format(thr4)} / ${"%,.0f".format(med4)} rows/s |
          || throughput local[16] (best / median) | ${"%,.0f".format(thr16)} / ${"%,.0f".format(med16)} rows/s |

@@ -344,6 +344,16 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).as("sum_cents"))
     }),
 
+    // -- in_exec source face (in_exec.c:46-100): `sh -c` on the driver
+    //    (the reference's popen + single event loop), one record per
+    //    stdout line; the command derives from the table size so DuckDB
+    //    re-derives every line
+    "fb_exec" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      graft.sources.ExecSource(s, s"seq 1 $n")
+        .select(col("line"), col("tag"))
+    }),
+
     // -- in_dummy source face (in_dummy.c:36-61): n copies of a fixed
     //    record with sequenced timestamps — the driver-checkable face of
     //    the seeded dev source (in_random stays spec-only: Spark's rand()
@@ -789,6 +799,14 @@ object SparkEntry {
     "text_strip_spans" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       Dedup.stripRepeatedSpans(d, "doc_id", "text", 8)
+    }),
+
+    // -- hashed-key span REMOVAL (production face): the whole strip
+    //    pipeline shuffles 8-byte gram hashes — gram strings never leave
+    //    the map side; cap 64 mirrors the detection face
+    "text_strip_spans_hashed" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.stripRepeatedSpansHashed(d, "doc_id", "text", 8, maxOcc = 64L)
     }),
 
     // -- token heavy-hitters: corpus-wide frequency top-20 (deterministic
@@ -1351,6 +1369,11 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS wstart, count(*) AS cnt,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1""",
+
+    "fb_exec" ->
+      """-- in_exec: `seq 1 n` stdout, one line-record each, fixed tag
+         SELECT CAST(doc_id + 1 AS VARCHAR) AS line, 'exec.0' AS tag
+         FROM documents""",
 
     "fb_dummy" ->
       """-- in_dummy: fixed record, 1/s sequenced timestamps from BaseEpoch
@@ -2128,6 +2151,34 @@ object SparkEntry {
                FROM w, LATERAL unnest(range(1, len(ws)-7+1)) AS t(i)
                WHERE len(ws) >= 8),
          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+         sp AS (SELECT doc_id, pos, gram FROM g JOIN dup USING (gram)),
+         keep AS (
+           SELECT gram, doc_id AS kid, pos AS kpos FROM (
+             SELECT gram, doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             FROM sp) WHERE rn = 1),
+         dropw AS (
+           SELECT DISTINCT sp.doc_id, CAST(t.o AS BIGINT) AS w
+           FROM sp JOIN keep USING (gram), LATERAL unnest(range(sp.pos, sp.pos + 8)) AS t(o)
+           WHERE NOT (sp.doc_id = keep.kid AND sp.pos = keep.kpos)),
+         words AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS w, ws[i] AS word
+           FROM w, LATERAL unnest(range(1, len(ws)+1)) AS t(i))
+         SELECT words.doc_id, string_agg(word, ' ' ORDER BY w) AS clean_text
+         FROM words ANTI JOIN dropw
+           ON words.doc_id = dropw.doc_id AND words.w = dropw.w
+         GROUP BY words.doc_id""",
+
+    "text_strip_spans_hashed" ->
+      """-- hashed-key removal: identical semantics re-derived over the
+         -- STRING gram with the occurrence cap in the dup set (the hash
+         -- is an engine shuffle detail; collision-free on this fixture)
+         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+               FROM w, LATERAL unnest(range(1, len(ws)-7+1)) AS t(i)
+               WHERE len(ws) >= 8),
+         dup AS (SELECT gram FROM g GROUP BY gram
+                 HAVING count(DISTINCT doc_id) > 1 AND count(*) <= 64),
          sp AS (SELECT doc_id, pos, gram FROM g JOIN dup USING (gram)),
          keep AS (
            SELECT gram, doc_id AS kid, pos AS kpos FROM (

@@ -352,6 +352,50 @@ object Dedup {
       .select(col(idCol), col("pos"), col("gram"))
   }
 
+  /** Production variant of [[stripRepeatedSpans]] — the whole removal
+    * pipeline keyed on `xxhash64(gram)`: detection, the canonical-keeper
+    * aggregate, and the covered-offset join all shuffle an 8-byte hash,
+    * and the gram STRING never leaves the map side at all (removal needs
+    * positions, not text). With `maxOcc > 0`, grams over the occurrence
+    * cap are left in place (not removed) — audit with [[spanGramStats]].
+    * Collision semantics follow [[crossDocRepeatedSpansHashed]]; a
+    * collision here can additionally merge two grams' keeper elections
+    * (one extra occurrence removed) — same ~10^-8 rate. DedupSpec asserts
+    * row identity with the string-key form on fixtures.
+    */
+  def stripRepeatedSpansHashed(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, maxOcc: Long = 0L): DataFrame = {
+    val positioned = df
+      .select(col(idCol),
+        posexplode(graft.functions.WordGrams(col(textCol), n)).as(Seq("_p0", "gram")))
+      .select(col(idCol), (col("_p0") + 1).as("pos"),
+        xxhash64(col("gram")).as("_gh"))
+    val counted = positioned.groupBy(col("_gh"))
+      .agg(countDistinct(col(idCol)).as("_docs"), count(lit(1)).as("_occ"))
+      .filter(col("_docs") > 1)
+    val repeated =
+      (if (maxOcc > 0L) counted.filter(col("_occ") <= maxOcc) else counted)
+        .select(col("_gh"))
+    // materialize once: spans feeds BOTH the keeper aggregate and the
+    // covered-offset branch (same localCheckpoint pattern as the string
+    // form / the CC loops)
+    val spans = positioned.join(repeated, "_gh").localCheckpoint()
+    val keeper = spans.groupBy(col("_gh"))
+      .agg(min(struct(col(idCol), col("pos"))).as("k"))
+    val dropOffsets = spans.join(keeper, "_gh")
+      .filter(!(col(idCol) === col(s"k.$idCol") && col("pos") === col("k.pos")))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("w"))
+      .distinct()
+    val words = df
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p0", "word")))
+      .select(col(idCol), (col("_p0") + 1).as("w"), col("word"))
+    words.join(dropOffsets, Seq(idCol, "w"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("w"), col("word")))),
+        s => s.getField("word")), " ").as("clean_text"))
+  }
+
   /** Truncation audit for [[crossDocRepeatedSpansHashed]]'s `maxOcc` cap
     * (mirrors [[Similarity.srpBucketStats]]): one row per repeated gram
     * hash with its corpus-wide occurrence count, distinct-doc count, and

@@ -218,5 +218,14 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == "a b c d e unique one two three")
     assert(got(2L) == "x other words here!")
     assert(got(3L) == "independent text stays fully intact")
+    // hashed-key removal ≡ string-key removal (uncapped)
+    val hashed = Dedup.stripRepeatedSpansHashed(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(hashed == got)
+    // capped: the shared gram occurs twice; cap 1 leaves it IN PLACE
+    val capped = Dedup.stripRepeatedSpansHashed(docs, "doc_id", "text", 5,
+      maxOcc = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(capped(2L) == "x a b c d e other words here!")
   }
 }
