@@ -60,6 +60,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scan.contains("struct<doc_id:bigint>"), scan)
   }
 
+  test("hashed span ops: every exchange keys on the 8-byte hash, never the gram string") {
+    // the point of the hashed variants: at 100 TB the ~50-byte gram string
+    // must not be a shuffle key (detection) or shuffled at all (removal)
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "z a b c d e f g h k"))
+      .toDF("doc_id", "text")
+    for ((name, q) <- Seq(
+      "detect" -> graft.operators.Dedup.crossDocRepeatedSpansHashed(d, "doc_id", "text", 8),
+      "strip" -> graft.operators.Dedup.stripRepeatedSpansHashed(d, "doc_id", "text", 8))) {
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val gramKeyed = "Exchange hashpartitioning\\(gram".r.findAllIn(plan).size
+      assert(gramKeyed == 0, s"$name shuffles on the gram string:\n$plan")
+      assert(plan.contains("hashpartitioning(_gh"), s"$name must shuffle on _gh:\n$plan")
+    }
+  }
+
   test("multiline assembly: ONE exchange — the record groupBy reuses the window's partitioning") {
     // groupBy(file, _rec) requires ClusteredDistribution(file, _rec), which
     // HashPartitioning(file) from the window pass already satisfies — a
