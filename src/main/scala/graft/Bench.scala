@@ -177,6 +177,8 @@ object Bench {
     // job is memory-bound, the probe was not. Returns bytes/sec.
     lazy val memArrays = Array.fill(16)(new Array[Long](2 << 20))
     def rawMem(nThreads: Int = 16, millis: Long = 1200): Double = {
+      require(nThreads <= memArrays.length,
+        s"rawMem supports at most ${memArrays.length} threads (got $nThreads)")
       val done = new java.util.concurrent.atomic.AtomicLong
       val stop = System.nanoTime() + millis * 1000000L
       val ts = (0 until nThreads).map { t =>

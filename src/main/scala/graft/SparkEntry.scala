@@ -344,10 +344,35 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).as("sum_cents"))
     }),
 
+    // -- in_tail source face (plugins/in_tail): glob read, newline split,
+    //    dynamic tag composed from the dotted file path — exercised over a
+    //    deterministic two-file fixture written from the table ids (even
+    //    ids → app0.log, odd → app1.log; the driver-side write is a
+    //    FIXTURE GENERATOR, not an operator path)
+    "fb_tail" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long].collect().sorted
+      val root = Paths.get("/tmp/graft_tail_fixture")
+      Files.createDirectories(root)
+      (0 to 1).foreach { k =>
+        val sb = new StringBuilder
+        ids.filter(_ % 2 == k).foreach(id => sb.append(s"line $id\n"))
+        Files.writeString(root.resolve(s"app$k.log"), sb.toString)
+      }
+      graft.sources.TailSource.lines(s, "/tmp/graft_tail_fixture/*.log", "tail.*")
+        .select(col("line"), col("tag"))
+    }),
+
     // -- in_exec source face (in_exec.c:46-100): `sh -c` on the driver
     //    (the reference's popen + single event loop), one record per
     //    stdout line; the command derives from the table size so DuckDB
-    //    re-derives every line
+    //    re-derives every line. ORACLE COUPLING: the Spark side is
+    //    count-based (`seq 1 n`), the oracle value-based (doc_id + 1) —
+    //    they agree only on fixtures with contiguous 0-based doc_ids
+    //    (true of every driver testdata sf; the bench's id-shifted scaled
+    //    tables only time this query, never oracle-check it)
     "fb_exec" -> ((s, dir) => {
       val n = s.read.parquet(s"$dir/documents.parquet").count()
       graft.sources.ExecSource(s, s"seq 1 $n")
@@ -357,7 +382,9 @@ object SparkEntry {
     // -- in_dummy source face (in_dummy.c:36-61): n copies of a fixed
     //    record with sequenced timestamps — the driver-checkable face of
     //    the seeded dev source (in_random stays spec-only: Spark's rand()
-    //    is partitioning-dependent, not engine-portable)
+    //    is partitioning-dependent, not engine-portable). Same
+    //    count-based-vs-value-based oracle coupling as fb_exec: needs
+    //    contiguous 0-based doc_ids, true of every driver fixture
     "fb_dummy" -> ((s, dir) => {
       val n = s.read.parquet(s"$dir/documents.parquet").count()
       graft.sources.Generators.dummy(s, n, Map("message" -> "dummy"))
@@ -1369,6 +1396,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS wstart, count(*) AS cnt,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1""",
+
+    "fb_tail" ->
+      """-- in_tail: per-line records; tag = pattern '*' replaced by the
+         -- dotted file path (tail_file.c:306-336)
+         SELECT 'line ' || CAST(doc_id AS VARCHAR) AS line,
+                'tail.tmp.graft_tail_fixture.app'
+                  || CAST(doc_id % 2 AS VARCHAR) || '.log' AS tag
+         FROM documents""",
 
     "fb_exec" ->
       """-- in_exec: `seq 1 n` stdout, one line-record each, fixed tag

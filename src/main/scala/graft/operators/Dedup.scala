@@ -337,19 +337,64 @@ object Dedup {
   def crossDocRepeatedSpansHashed(df: DataFrame, idCol: String,
                                   textCol: String, n: Int,
                                   maxOcc: Long = 0L): DataFrame = {
-    val positioned = df
-      .select(col(idCol),
+    val positioned = hashedGramPositions(df, idCol, textCol, n)
+    positioned.join(hashedRepeatedSet(positioned, idCol, maxOcc), "_gh")
+      .select(col(idCol), col("pos"), col("gram"))
+  }
+
+  /** (id, pos, gram, _gh=xxhash64(gram)) — shared spine of the hashed
+    * span ops (callers prune `gram` before any shuffle that must not
+    * carry the string).
+    */
+  private def hashedGramPositions(df: DataFrame, idCol: String,
+                                  textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
         posexplode(graft.functions.WordGrams(col(textCol), n)).as(Seq("_p0", "gram")))
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("gram"),
         xxhash64(col("gram")).as("_gh"))
+
+  /** Distinct `_gh` of grams in >1 doc, minus those over the occurrence
+    * cap (`maxOcc = 0` disables the cap).
+    */
+  private def hashedRepeatedSet(positioned: DataFrame, idCol: String,
+                                maxOcc: Long): DataFrame = {
     val counted = positioned.groupBy(col("_gh"))
       .agg(countDistinct(col(idCol)).as("_docs"), count(lit(1)).as("_occ"))
       .filter(col("_docs") > 1)
-    val repeated =
-      (if (maxOcc > 0L) counted.filter(col("_occ") <= maxOcc) else counted)
-        .select(col("_gh"))
-    positioned.join(repeated, "_gh")
-      .select(col(idCol), col("pos"), col("gram"))
+    (if (maxOcc > 0L) counted.filter(col("_occ") <= maxOcc) else counted)
+      .select(col("_gh"))
+  }
+
+  /** Covered word offsets of every NON-canonical flagged span occurrence:
+    * keeper = min(struct(id, pos)) per `keyCol` group, every other
+    * occurrence explodes to its n covered offsets. Shared by both strip
+    * variants (string key vs hash key).
+    */
+  private def dropOffsetsFor(spans: DataFrame, keyCol: String, idCol: String,
+                             n: Int): DataFrame = {
+    val keeper = spans.groupBy(col(keyCol))
+      .agg(min(struct(col(idCol), col("pos"))).as("k"))
+    spans.join(keeper, keyCol)
+      .filter(!(col(idCol) === col(s"k.$idCol") && col("pos") === col("k.pos")))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("w"))
+      .distinct()
+  }
+
+  /** Rebuild (id, clean_text) dropping the given (id, w) word offsets —
+    * the shared reassembly tail: per-doc sort_array over (pos, word)
+    * structs, no window, one groupBy, so a doc's words never serialize
+    * through a single global partition.
+    */
+  private def stripByOffsets(df: DataFrame, idCol: String, textCol: String,
+                             dropOffsets: DataFrame): DataFrame = {
+    val words = df
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p0", "word")))
+      .select(col(idCol), (col("_p0") + 1).as("w"), col("word"))
+    words.join(dropOffsets, Seq(idCol, "w"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("w"), col("word")))),
+        s => s.getField("word")), " ").as("clean_text"))
   }
 
   /** Production variant of [[stripRepeatedSpans]] — the whole removal
@@ -365,35 +410,15 @@ object Dedup {
     */
   def stripRepeatedSpansHashed(df: DataFrame, idCol: String, textCol: String,
                                n: Int, maxOcc: Long = 0L): DataFrame = {
-    val positioned = df
-      .select(col(idCol),
-        posexplode(graft.functions.WordGrams(col(textCol), n)).as(Seq("_p0", "gram")))
-      .select(col(idCol), (col("_p0") + 1).as("pos"),
-        xxhash64(col("gram")).as("_gh"))
-    val counted = positioned.groupBy(col("_gh"))
-      .agg(countDistinct(col(idCol)).as("_docs"), count(lit(1)).as("_occ"))
-      .filter(col("_docs") > 1)
-    val repeated =
-      (if (maxOcc > 0L) counted.filter(col("_occ") <= maxOcc) else counted)
-        .select(col("_gh"))
+    val positioned = hashedGramPositions(df, idCol, textCol, n)
+      .drop("gram") // removal needs positions, not text — the string never shuffles
     // materialize once: spans feeds BOTH the keeper aggregate and the
     // covered-offset branch (same localCheckpoint pattern as the string
     // form / the CC loops)
-    val spans = positioned.join(repeated, "_gh").localCheckpoint()
-    val keeper = spans.groupBy(col("_gh"))
-      .agg(min(struct(col(idCol), col("pos"))).as("k"))
-    val dropOffsets = spans.join(keeper, "_gh")
-      .filter(!(col(idCol) === col(s"k.$idCol") && col("pos") === col("k.pos")))
-      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("w"))
-      .distinct()
-    val words = df
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p0", "word")))
-      .select(col(idCol), (col("_p0") + 1).as("w"), col("word"))
-    words.join(dropOffsets, Seq(idCol, "w"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("w"), col("word")))),
-        s => s.getField("word")), " ").as("clean_text"))
+    val spans = positioned
+      .join(hashedRepeatedSet(positioned, idCol, maxOcc), "_gh")
+      .localCheckpoint()
+    stripByOffsets(df, idCol, textCol, dropOffsetsFor(spans, "_gh", idCol, n))
   }
 
   /** Truncation audit for [[crossDocRepeatedSpansHashed]]'s `maxOcc` cap
@@ -427,20 +452,7 @@ object Dedup {
     // + gram-keyed aggregation runs twice (same localCheckpoint pattern
     // as the CC loops)
     val spans = crossDocRepeatedSpans(df, idCol, textCol, n).localCheckpoint()
-    val keeper = spans.groupBy(col("gram"))
-      .agg(min(struct(col(idCol), col("pos"))).as("k"))
-    val dropOffsets = spans.join(keeper, "gram")
-      .filter(!(col(idCol) === col(s"k.$idCol") && col("pos") === col("k.pos")))
-      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("w"))
-      .distinct()
-    val words = df
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p0", "word")))
-      .select(col(idCol), (col("_p0") + 1).as("w"), col("word"))
-    words.join(dropOffsets, Seq(idCol, "w"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("w"), col("word")))),
-        s => s.getField("word")), " ").as("clean_text"))
+    stripByOffsets(df, idCol, textCol, dropOffsetsFor(spans, "gram", idCol, n))
   }
 
   /** Word n-gram set (distinct) of a text column, '|'-joined grams. */
