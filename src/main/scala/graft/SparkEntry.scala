@@ -365,6 +365,27 @@ object SparkEntry {
         .select(col("line"), col("tag"))
     }),
 
+    // -- in_head source face (in_head.c:40-118): first `lines` lines of
+    //    each matched file as ONE record per file under `head`, Add_Path
+    //    on — reuses the fb_tail fixture (writes it independently so
+    //    query order never matters)
+    "fb_head" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long].collect().sorted
+      val root = Paths.get("/tmp/graft_tail_fixture")
+      Files.createDirectories(root)
+      (0 to 1).foreach { k =>
+        val sb = new StringBuilder
+        ids.filter(_ % 2 == k).foreach(id => sb.append(s"line $id\n"))
+        Files.writeString(root.resolve(s"app$k.log"), sb.toString)
+      }
+      graft.sources.HeadSource(s, "/tmp/graft_tail_fixture/*.log",
+          tagPattern = "head.*", lines = 3, addPath = true)
+        .select(col("head"), col("tag"), col("path"))
+    }),
+
     // -- in_exec source face (in_exec.c:46-100): `sh -c` on the driver
     //    (the reference's popen + single event loop), one record per
     //    stdout line; the command derives from the table size so DuckDB
@@ -1396,6 +1417,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS wstart, count(*) AS cnt,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1""",
+
+    "fb_head" ->
+      """-- in_head: first 3 lines per file, one record per file, Add_Path;
+         -- the fixture's first even/odd ids are 0,2,4 / 1,3,5 at every sf
+         SELECT col0 AS head, col1 AS tag, col2 AS path FROM (VALUES
+           ('line 0' || chr(10) || 'line 2' || chr(10) || 'line 4',
+            'head.tmp.graft_tail_fixture.app0.log',
+            'file:///tmp/graft_tail_fixture/app0.log'),
+           ('line 1' || chr(10) || 'line 3' || chr(10) || 'line 5',
+            'head.tmp.graft_tail_fixture.app1.log',
+            'file:///tmp/graft_tail_fixture/app1.log'))""",
 
     "fb_tail" ->
       """-- in_tail: per-line records; tag = pattern '*' replaced by the
