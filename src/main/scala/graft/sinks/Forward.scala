@@ -232,9 +232,7 @@ object MsgpackDecode {
 
   final case class Entry(sec: Long, nsec: Long, record: Map[String, String])
 
-  /** Unpack a full frame `[tag, [[time, record]…]]`. */
-  def unpackFrame(bytes: Array[Byte]): (String, Seq[Entry]) = {
-    val c = new Cursor(bytes)
+  private def unpackFrameAt(c: Cursor): (String, Seq[Entry]) = {
     require(readArrayHeader(c) == 2, "frame must be a 2-array")
     val tag = readStr(c)
     val n = readArrayHeader(c)
@@ -245,8 +243,27 @@ object MsgpackDecode {
       val rec = (0 until m).map(_ => readStr(c) -> readStr(c)).toMap
       Entry(sec, nsec, rec)
     }
-    require(c.i == bytes.length, s"trailing bytes: ${bytes.length - c.i}")
     (tag, entries)
+  }
+
+  /** Unpack a full frame `[tag, [[time, record]…]]`. */
+  def unpackFrame(bytes: Array[Byte]): (String, Seq[Entry]) = {
+    val c = new Cursor(bytes)
+    val f = unpackFrameAt(c)
+    require(c.i == bytes.length, s"trailing bytes: ${bytes.length - c.i}")
+    f
+  }
+
+  /** Unpack a STREAM of concatenated frames — the shape a forward-protocol
+    * socket connection delivers (msgpack objects are self-delimiting, so
+    * the wire needs no extra framing; `fw_prot.c` likewise iterates
+    * msgpack_unpack_next over the connection buffer).
+    */
+  def unpackFrames(bytes: Array[Byte]): Seq[(String, Seq[Entry])] = {
+    val c = new Cursor(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Entry])]
+    while (c.i < bytes.length) out += unpackFrameAt(c)
+    out.toSeq
   }
 }
 

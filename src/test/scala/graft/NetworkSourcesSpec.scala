@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.NetworkSources
+
+/** Live localhost sockets — the transport half of in_forward / in_tcp /
+  * in_syslog(tcp) that rounds out the already byte-exact wire codecs.
+  */
+class NetworkSourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("in_forward over a real localhost socket: byte-exact frame round trip") {
+    val df = Seq(
+      ("app.a", 1500000000L, 7, Map("k" -> "v1"), 1L),
+      ("app.a", 1500000001L, 9, Map("k" -> "v2"), 2L),
+      ("app.b", 1500000002L, 0, Map("x" -> "y"), 3L)
+    ).toDF("tag", "sec", "nsec", "record", "ord")
+    val frames = graft.sinks.Forward.frames(df, "tag", "sec", "nsec", "record", "ord")
+      .orderBy("tag").select("frame").as[Array[Byte]].collect()
+    assert(frames.length == 2) // app.a (2 entries), app.b (1 entry)
+    val l = NetworkSources.listen()
+    try {
+      // connection 1 carries BOTH frames concatenated — the wire needs no
+      // extra framing (msgpack is self-delimiting; fw_prot.c iterates
+      // msgpack_unpack_next over the connection buffer); connection 2
+      // re-sends the first frame
+      val s1 = new java.net.Socket("127.0.0.1", l.port)
+      s1.getOutputStream.write(frames(0))
+      s1.getOutputStream.write(frames(1))
+      s1.close()
+      val s2 = new java.net.Socket("127.0.0.1", l.port)
+      s2.getOutputStream.write(frames(0))
+      s2.close()
+      val rows = NetworkSources.forwardRows(spark, l.drainUntilQuiet())
+        .collect().map(r => (r.tag, r.sec, r.nsec, r.record)).toSeq
+      assert(rows.size == 5)
+      val a1 = ("app.a", 1500000000L, 7L, Map("k" -> "v1"))
+      val a2 = ("app.a", 1500000001L, 9L, Map("k" -> "v2"))
+      val b1 = ("app.b", 1500000002L, 0L, Map("x" -> "y"))
+      assert(rows.count(_ == a1) == 2 && rows.count(_ == a2) == 2)
+      assert(rows.count(_ == b1) == 1)
+    } finally l.close()
+  }
+
+  test("in_tcp lines over a real socket; a syslog line parses through the standard chain") {
+    val l = NetworkSources.listen()
+    try {
+      val s = new java.net.Socket("127.0.0.1", l.port)
+      s.getOutputStream.write(
+        "hello 1\nhello 2\n<13>Jul 17 20:17:03 host-3 app7[42]: message 3\n"
+          .getBytes("UTF-8"))
+      s.close()
+      val lines = NetworkSources.lineRows(spark, l.drainUntilQuiet(), tag = "syslog.0")
+      assert(lines.count() == 3)
+      assert(lines.select("tag").distinct().as[String].collect().toSeq == Seq("syslog.0"))
+      val sys = lines.filter(col("line").startsWith("<"))
+        .withColumn("p", graft.parsers.Parsers.syslogRfc3164.parsed(col("line")))
+        .select(col("p.pri"), col("p.host"), col("p.ident"), col("p.pid"),
+          col("p.message"))
+        .collect().head
+      assert(sys.getString(0) == "13" && sys.getString(1) == "host-3")
+      assert(sys.getString(2) == "app7" && sys.getString(3) == "42")
+      assert(sys.getString(4) == "message 3")
+    } finally l.close()
+  }
+}
