@@ -83,6 +83,40 @@ object NetworkSources {
     def close(): Unit = ss.close()
   }
 
+  /** Syslog UDP face (`in_syslog` udp/unix_udp modes): one datagram = one
+    * record (`syslog_prot.c` consumes whole messages, not a byte stream).
+    * Bind first (port 0 → ephemeral), send, then drain.
+    */
+  def listenUdp(port: Int = 0): UdpListener =
+    new UdpListener(new java.net.DatagramSocket(port))
+
+  final class UdpListener private[sources] (sock: java.net.DatagramSocket) {
+    val port: Int = sock.getLocalPort
+    /** Block until `quietMillis` pass after the first datagram (or
+      * `timeoutMillis`); returns each datagram as a string record.
+      */
+    def drainUntilQuiet(quietMillis: Long = 300,
+                        timeoutMillis: Long = 30000): Seq[String] = {
+      sock.setSoTimeout(10)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val buf = new Array[Byte](64 << 10)
+      var lastActivity = System.nanoTime()
+      val deadline = System.nanoTime() + timeoutMillis * 1000000L
+      while (System.nanoTime() < deadline &&
+             (out.isEmpty ||
+              System.nanoTime() - lastActivity < quietMillis * 1000000L)) {
+        val p = new java.net.DatagramPacket(buf, buf.length)
+        try {
+          sock.receive(p)
+          out += new String(p.getData, p.getOffset, p.getLength, "UTF-8")
+          lastActivity = System.nanoTime()
+        } catch { case _: java.net.SocketTimeoutException => () }
+      }
+      out.toSeq
+    }
+    def close(): Unit = sock.close()
+  }
+
   /** `in_forward` ingest: connection payloads (each a stream of msgpack
     * frames) → one row per entry, the same (tag, sec, nsec, record) frame
     * shape [[Forward.parseFrames]] yields — decode distributes across the

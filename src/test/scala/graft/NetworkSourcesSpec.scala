@@ -45,6 +45,20 @@ class NetworkSourcesSpec extends AnyFunSuite {
     } finally l.close()
   }
 
+  test("syslog over UDP: one datagram = one record") {
+    val l = NetworkSources.listenUdp()
+    try {
+      val s = new java.net.DatagramSocket()
+      val addr = new java.net.InetSocketAddress("127.0.0.1", l.port)
+      for (m <- Seq("<13>Jul 17 20:17:03 host-3 app7[42]: message 3", "plain"))
+        s.send(new java.net.DatagramPacket(m.getBytes("UTF-8"), m.length, addr))
+      s.close()
+      val got = l.drainUntilQuiet()
+      assert(got.size == 2 && got.contains("plain"))
+      assert(got.exists(_.startsWith("<13>")))
+    } finally l.close()
+  }
+
   test("in_tcp lines over a real socket; a syslog line parses through the standard chain") {
     val l = NetworkSources.listen()
     try {
