@@ -265,6 +265,28 @@ object MsgpackDecode {
     while (c.i < bytes.length) out += unpackFrameAt(c)
     out.toSeq
   }
+
+  /** Lenient stream unpack for UNTRUSTED wire bytes: frames decoded up to
+    * the first malformed or cut position, plus the count of skipped tail
+    * bytes. `fw_prot.c` likewise drops a bad connection's remainder and
+    * keeps the engine running — a garbage payload (port scanner, wrong
+    * protocol) must not fail a distributed decode job.
+    */
+  def unpackFramesLenient(bytes: Array[Byte]): (Seq[(String, Seq[Entry])], Long) = {
+    val c = new Cursor(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Entry])]
+    var good = 0
+    try {
+      while (c.i < bytes.length) {
+        out += unpackFrameAt(c)
+        good = c.i
+      }
+    } catch {
+      case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+           _: NegativeArraySizeException => ()
+    }
+    (out.toSeq, (bytes.length - good).toLong)
+  }
 }
 
 object Forward {

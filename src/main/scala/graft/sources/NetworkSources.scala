@@ -31,9 +31,22 @@ object NetworkSources {
   def listen(port: Int = 0, maxConnBytes: Int = 16 << 20): Listener =
     new Listener(new ServerSocket(port), maxConnBytes)
 
+  /** One connection's accumulating bytes — written by its handler thread,
+    * snapshotted by the drainer (synchronized: ByteArrayOutputStream is
+    * not safe for concurrent write+read).
+    */
+  private final class ConnBuf {
+    private val buf = new ByteArrayOutputStream()
+    def append(chunk: Array[Byte], n: Int): Unit = synchronized { buf.write(chunk, 0, n) }
+    def size: Int = synchronized { buf.size() }
+    def snapshot(): Array[Byte] = synchronized { buf.toByteArray }
+  }
+
   final class Listener private[sources] (ss: ServerSocket, maxConnBytes: Int) {
     val port: Int = ss.getLocalPort
-    private val payloads = new ConcurrentLinkedQueue[Array[Byte]]()
+    private val conns = new ConcurrentLinkedQueue[ConnBuf]()
+    private val openSockets = new ConcurrentLinkedQueue[Socket]()
+    private val dropped = new java.util.concurrent.atomic.AtomicLong
     @volatile private var lastActivity = System.nanoTime()
     private val started = new CountDownLatch(1)
     private val acceptor = new Thread(() => {
@@ -41,7 +54,10 @@ object NetworkSources {
       try {
         while (!ss.isClosed) {
           val s = ss.accept()
-          new Thread(() => handle(s)).start()
+          openSockets.add(s)
+          val t = new Thread(() => handle(s))
+          t.setDaemon(true) // a stalled client must not keep the JVM alive
+          t.start()
         }
       } catch { case _: java.net.SocketException => () } // closed
     }, s"graft-listener-$port")
@@ -52,35 +68,58 @@ object NetworkSources {
     private def handle(s: Socket): Unit = {
       try {
         val in = s.getInputStream
-        val buf = new ByteArrayOutputStream()
+        val buf = new ConnBuf
+        conns.add(buf) // registered up front: a PERSISTENT connection's
+        // bytes are visible to the drainer without waiting for EOF (the
+        // fluentd forward protocol holds connections open for reuse)
         val chunk = new Array[Byte](8192)
         var n = in.read(chunk)
-        while (n >= 0 && buf.size() + n <= maxConnBytes) {
-          buf.write(chunk, 0, n)
+        while (n >= 0) {
+          if (buf.size + n > maxConnBytes) {
+            // over-cap: DROP the whole connection (the reference drops bad
+            // connections too) — a silently truncated payload would crash
+            // the distributed decode mid-frame downstream
+            conns.remove(buf)
+            dropped.incrementAndGet()
+            System.err.println(s"[graft-listener] dropping connection > $maxConnBytes bytes")
+            return
+          }
+          buf.append(chunk, n)
           lastActivity = System.nanoTime()
           n = in.read(chunk)
         }
-        if (buf.size() > 0) payloads.add(buf.toByteArray)
         lastActivity = System.nanoTime()
-      } finally s.close()
+      } finally { s.close(); openSockets.remove(s) }
     }
 
+    /** Connections dropped for exceeding `maxConnBytes`. */
+    def droppedConnections: Long = dropped.get
+
     /** Block until at least one payload has arrived AND `quietMillis` have
-      * passed with no traffic (or `timeoutMillis` elapses), then return
-      * every complete connection payload collected so far.
+      * passed with no traffic (or `timeoutMillis` elapses), then snapshot
+      * every connection's bytes so far — including still-open persistent
+      * connections (a quiet window mid-frame would snapshot a partial
+      * frame; the lenient decode in [[forwardRows]] skips the cut tail).
       */
     def drainUntilQuiet(quietMillis: Long = 300,
                         timeoutMillis: Long = 30000): Seq[Array[Byte]] = {
+      import scala.jdk.CollectionConverters._
       val deadline = System.nanoTime() + timeoutMillis * 1000000L
+      def haveBytes = conns.iterator().asScala.exists(_.size > 0)
       while (System.nanoTime() < deadline &&
-             (payloads.isEmpty ||
+             (!haveBytes ||
               System.nanoTime() - lastActivity < quietMillis * 1000000L))
         Thread.sleep(10)
-      import scala.jdk.CollectionConverters._
-      payloads.iterator().asScala.toSeq
+      conns.iterator().asScala.map(_.snapshot()).filter(_.nonEmpty).toSeq
     }
 
-    def close(): Unit = ss.close()
+    def close(): Unit = {
+      ss.close()
+      import scala.jdk.CollectionConverters._
+      openSockets.iterator().asScala.foreach { s =>
+        try s.close() catch { case _: Throwable => () }
+      }
+    }
   }
 
   /** Syslog UDP face (`in_syslog` udp/unix_udp modes): one datagram = one
@@ -126,7 +165,13 @@ object NetworkSources {
                   payloads: Seq[Array[Byte]]): Dataset[Forward.ForwardRow] = {
     import spark.implicits._
     payloads.toDS().flatMap { bytes =>
-      MsgpackDecode.unpackFrames(bytes).flatMap { case (tag, entries) =>
+      // LENIENT decode: wire bytes are untrusted (a garbage connection or
+      // a partial-frame snapshot must not fail the job — the reference
+      // drops the bad remainder and keeps running)
+      val (frames, skipped) = MsgpackDecode.unpackFramesLenient(bytes)
+      if (skipped > 0)
+        System.err.println(s"[forward-ingest] skipped $skipped undecodable tail bytes")
+      frames.flatMap { case (tag, entries) =>
         entries.map(e => Forward.ForwardRow(tag, e.sec, e.nsec, e.record))
       }
     }
@@ -140,10 +185,13 @@ object NetworkSources {
   def lineRows(spark: SparkSession, payloads: Seq[Array[Byte]],
                tag: String = "tcp.0"): DataFrame = {
     import spark.implicits._
+    // strip ONE trailing newline then split — interior blank lines are
+    // records (same convention as HeadSource/LocalSources; "\n\\z", not
+    // "\n$", so a trailing blank line survives too)
     payloads.zipWithIndex.toDF("bytes", "conn")
-      .select(explode(split(decode(col("bytes"), "UTF-8"), "\n")).as("line"),
+      .select(explode(split(
+          regexp_replace(decode(col("bytes"), "UTF-8"), "\n\\z", ""), "\n")).as("line"),
         concat(lit("conn-"), col("conn")).as("file"))
-      .filter(col("line") =!= "")
       .withColumn("tag", lit(tag))
   }
 }

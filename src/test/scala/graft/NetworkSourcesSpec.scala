@@ -34,8 +34,14 @@ class NetworkSourcesSpec extends AnyFunSuite {
       val s2 = new java.net.Socket("127.0.0.1", l.port)
       s2.getOutputStream.write(frames(0))
       s2.close()
+      // connection 3 is GARBAGE on an OPEN socket: the lenient decode must
+      // skip it without failing the job, and the drain must not need EOF
+      val s3 = new java.net.Socket("127.0.0.1", l.port)
+      s3.getOutputStream.write("not msgpack at all".getBytes("UTF-8"))
+      s3.getOutputStream.flush()
       val rows = NetworkSources.forwardRows(spark, l.drainUntilQuiet())
         .collect().map(r => (r.tag, r.sec, r.nsec, r.record)).toSeq
+      s3.close()
       assert(rows.size == 5)
       val a1 = ("app.a", 1500000000L, 7L, Map("k" -> "v1"))
       val a2 = ("app.a", 1500000001L, 9L, Map("k" -> "v2"))
