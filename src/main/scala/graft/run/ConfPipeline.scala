@@ -18,7 +18,9 @@ import graft.sources.TailSource
   *
   * Supported subset (the shipped plugin surface of this engine):
   *   - INPUT: `tail` (Path, Tag, Parser), `dummy` (Dummy, Samples),
-  *     `head` (File, Lines/Buf_Size), `exec` (Command, Parser)
+  *     `head` (File, Lines/Buf_Size), `exec` (Command, Parser),
+  *     `tcp`/`syslog` (Port, Tag, Parser — live socket, drain-until-quiet
+  *     batch), `forward` (Port — msgpack frames to typed columns)
   *   - FILTER: `grep` (Regex/Exclude k p, encounter order), `record_modifier`
   *     (Remove_key/Whitelist_key/Record), `parser` (Key_Name, Parser,
   *     Reserve_Data, Preserve_Key), `throttle` (Rate, Interval), `nest`
@@ -148,6 +150,53 @@ object ConfPipeline {
               else parsed
             case None => df
           }
+        case Some("tcp") | Some("syslog") =>
+          // in_tcp (tcp_conn.c) / in_syslog Mode tcp (syslog_prot.c:96):
+          // bind Port, drain until the socket goes quiet, one (line, file,
+          // tag) record per line — the batch semantics of the reference's
+          // buffer-then-flush engine; a Parser option parses each line
+          // like the reference's syslog path
+          val port = s.get("Port").map(_.toInt).getOrElse(
+            throw new IllegalArgumentException("tcp/syslog input needs Port"))
+          val tag = s.get("Tag").getOrElse(s.get("Name").get.toLowerCase + ".0")
+          val l = graft.sources.NetworkSources.listen(port)
+          val payloads =
+            try l.drainUntilQuiet(
+              s.get("Quiet_Ms").map(_.toLong).getOrElse(300L),
+              s.get("Timeout_Ms").map(_.toLong).getOrElse(30000L))
+            finally l.close()
+          val df = graft.sources.NetworkSources.lineRows(spark, payloads, tag)
+          s.get("Parser").flatMap(parsers.get) match {
+            case Some(p) =>
+              val parsed = ParserFilter.flatten("line", p)(df)
+              if (p.timeKey.isDefined && p.timeFormat.isDefined)
+                parsed.withColumn("ts", p.eventTime(col("line")))
+              else parsed
+            case None => df
+          }
+        case Some("forward") =>
+          // in_forward (fw_prot.c): drain msgpack frames, decode leniently,
+          // and surface each entry as columns — tag, ts (from the fixext8
+          // sec+nsec), and one column per record key (the union of keys in
+          // the drained batch; the batch already passed through the
+          // driver's accept loop, so the driver-side key scan adds nothing)
+          val port = s.get("Port").map(_.toInt).getOrElse(24224)
+          val l = graft.sources.NetworkSources.listen(port)
+          val payloads =
+            try l.drainUntilQuiet(
+              s.get("Quiet_Ms").map(_.toLong).getOrElse(300L),
+              s.get("Timeout_Ms").map(_.toLong).getOrElse(30000L))
+            finally l.close()
+          val entries = payloads
+            .flatMap(b => graft.sinks.MsgpackDecode.unpackFramesLenient(b)._1)
+            .flatMap { case (t, es) => es.map(e => (t, e.sec, e.nsec, e.record)) }
+          val keys = entries.flatMap(_._4.keys).distinct.sorted
+          import spark.implicits._
+          val raw = entries.toDF("tag", "_fsec", "_fnsec", "_rec")
+          raw.select(
+            col("tag") +:
+              timestamp_micros(col("_fsec") * 1000000L + (col("_fnsec") / 1000L).cast("long")).as("ts") +:
+              keys.map(k => col("_rec").getItem(k).as(k)): _*)
         case other =>
           throw new IllegalArgumentException(s"unsupported input $other")
       }

@@ -374,4 +374,64 @@ class ConfPipelineSpec extends AnyFunSuite {
     assert(http.length == 2 && http.forall(
       _.matches("""\{"date":"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z", .*\}""")))
   }
+
+  // connect with retries: load() binds the listener partway through, after
+  // parsers.conf parsing — the client must wait the bind out
+  private def connectRetrying(port: Int): java.net.Socket = {
+    var attempts = 0
+    while (attempts < 200) {
+      try return new java.net.Socket("127.0.0.1", port)
+      catch { case _: java.net.ConnectException => attempts += 1; Thread.sleep(50) }
+    }
+    throw new IllegalStateException(s"listener on $port never came up")
+  }
+
+  test("conf tcp input: live socket drains into the standard line frame") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val port = 36719
+    val conf =
+      s"""[INPUT]
+         |    Name tcp
+         |    Port $port
+         |    Tag  net.0
+         |""".stripMargin
+    val fut = Future(ConfPipeline.load(spark, conf, parsersConf).filtered)
+    val s = connectRetrying(port)
+    s.getOutputStream.write("alpha\nbeta\n".getBytes("UTF-8"))
+    s.close()
+    val out = Await.result(fut, 30.seconds)
+    assert(out.select("line").as[String].collect().toSet == Set("alpha", "beta"))
+    assert(out.select("tag").distinct().as[String].collect().toSeq == Seq("net.0"))
+  }
+
+  test("conf forward input: msgpack frames over a live socket become typed columns") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("fw.a", 1500000000L, 500000000, Map("msg" -> "m1", "code" -> "7"), 1L))
+      .toDF("tag", "sec", "nsec", "record", "ord")
+    val frame = graft.sinks.Forward.frames(df, "tag", "sec", "nsec", "record", "ord")
+      .select("frame").as[Array[Byte]].head()
+    val port = 36720
+    val conf =
+      s"""[INPUT]
+         |    Name forward
+         |    Port $port
+         |""".stripMargin
+    val fut = Future(ConfPipeline.load(spark, conf, parsersConf).filtered)
+    val s = connectRetrying(port)
+    s.getOutputStream.write(frame)
+    s.close()
+    val out = Await.result(fut, 30.seconds)
+    val row = out.select(col("tag"), unix_micros(col("ts")), col("msg"), col("code"))
+      .collect().head
+    assert(row.getString(0) == "fw.a")
+    assert(row.getLong(1) == 1500000000500000L) // sec + nsec/1e3 carried into ts
+    assert(row.getString(2) == "m1" && row.getString(3) == "7")
+  }
 }
