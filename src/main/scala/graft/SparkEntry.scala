@@ -400,6 +400,25 @@ object SparkEntry {
         .select(col("line"), col("tag"))
     }),
 
+    // -- forward wire ROUND TRIP: pack per-tag frames (the out_forward
+    //    half), then decode them back through the in_forward half
+    //    (parseFrames) — pack∘unpack ≡ identity becomes driver-checkable,
+    //    the oracle re-derives the original records arithmetically
+    "fb_forward_roundtrip" -> ((s, dir) => {
+      val f = Fixtures.fileSinkRecords(s, dir)
+        .select(col("seq"),
+          concat(lit("t"), (col("seq") % 3).cast("string")).as("tag"),
+          col("sec"), col("nsec").cast("int").as("nsec"),
+          map(lit("code"), col("code").cast("string"),
+              lit("m"), coalesce(col("msg"), lit("-"))).as("record"))
+      val framed = graft.sinks.Forward.frames(f, "tag", "sec", "nsec",
+        "record", "seq")
+      graft.sinks.Forward.parseFrames(framed, "frame").toDF()
+        .select(col("tag"), col("sec"), col("nsec"),
+          element_at(col("record"), "code").as("code"),
+          element_at(col("record"), "m").as("m"))
+    }),
+
     // -- in_dummy source face (in_dummy.c:36-61): n copies of a fixed
     //    record with sequenced timestamps — the driver-checkable face of
     //    the seeded dev source (in_random stays spec-only: Spark's rand()
@@ -1440,6 +1459,17 @@ object SparkEntry {
     "fb_exec" ->
       """-- in_exec: `seq 1 n` stdout, one line-record each, fixed tag
          SELECT CAST(doc_id + 1 AS VARCHAR) AS line, 'exec.0' AS tag
+         FROM documents""",
+
+    "fb_forward_roundtrip" ->
+      """-- forward pack -> unpack identity: the decoded rows must equal the
+         -- fixture records the frames were built from
+         SELECT 't' || CAST(doc_id % 3 AS VARCHAR) AS tag,
+                1500322623 + doc_id % 3600 AS sec,
+                (doc_id * 997) % 1000000 * 1000 AS nsec,
+                CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
+                CASE WHEN doc_id % 7 = 0 THEN '-'
+                     ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS m
          FROM documents""",
 
     "fb_dummy" ->
