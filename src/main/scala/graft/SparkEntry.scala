@@ -411,8 +411,12 @@ object SparkEntry {
           col("sec"), col("nsec").cast("int").as("nsec"),
           map(lit("code"), col("code").cast("string"),
               lit("m"), coalesce(col("msg"), lit("-"))).as("record"))
+      // batched per seq%50: only 3 tags exist, and an unbatched frames()
+      // would collect_list a third of the table into ONE frame buffer —
+      // the exact unbounded-group pattern the frames() scaladoc warns
+      // about; parseFrames explodes back to identical rows either way
       val framed = graft.sinks.Forward.frames(f, "tag", "sec", "nsec",
-        "record", "seq")
+        "record", "seq", batchCols = Seq((col("seq") % 50).as("_b")))
       graft.sinks.Forward.parseFrames(framed, "frame").toDF()
         .select(col("tag"), col("sec"), col("nsec"),
           element_at(col("record"), "code").as("code"),

@@ -187,16 +187,30 @@ object ConfPipeline {
               s.get("Quiet_Ms").map(_.toLong).getOrElse(300L),
               s.get("Timeout_Ms").map(_.toLong).getOrElse(30000L))
             finally l.close()
-          val entries = payloads
-            .flatMap(b => graft.sinks.MsgpackDecode.unpackFramesLenient(b)._1)
-            .flatMap { case (t, es) => es.map(e => (t, e.sec, e.nsec, e.record)) }
-          val keys = entries.flatMap(_._4.keys).distinct.sorted
+          val decoded = payloads.map(graft.sinks.MsgpackDecode.unpackFramesLenient)
+          val skipped = decoded.map(_._2).sum
+          if (skipped > 0)
+            System.err.println(s"[conf-forward] skipped $skipped undecodable tail bytes")
+          // ts micros computed HERE (the batch is driver-local anyway) with
+          // an overflow guard: a crafted uint64 wire time × 1e6 would throw
+          // under ANSI; out-of-range times clamp to 0 like a missing time
+          def micros(sec: Long, nsec: Long): Long =
+            if (sec < 0L || sec > 253402300799L) 0L // beyond year 9999
+            else sec * 1000000L + nsec / 1000L
+          val entries = decoded.flatMap(_._1)
+            .flatMap { case (t, es) => es.map(e => (t, micros(e.sec, e.nsec), e.record)) }
+          val keys = entries.flatMap(_._3.keys).distinct.sorted
           import spark.implicits._
-          val raw = entries.toDF("tag", "_fsec", "_fnsec", "_rec")
+          val raw = entries.toDF("tag", "_fus", "_rec")
           raw.select(
             col("tag") +:
-              timestamp_micros(col("_fsec") * 1000000L + (col("_fnsec") / 1000L).cast("long")).as("ts") +:
-              keys.map(k => col("_rec").getItem(k).as(k)): _*)
+              timestamp_micros(col("_fus")).as("ts") +:
+              // record keys named 'tag'/'ts' would duplicate the frame
+              // columns and make every downstream reference ambiguous —
+              // prefix them (the reference keeps record keys in their own
+              // namespace; flattening to columns conflates the two)
+              keys.map(k => col("_rec").getItem(k)
+                .as(if (k == "tag" || k == "ts") "_" + k else k)): _*)
         case other =>
           throw new IllegalArgumentException(s"unsupported input $other")
       }

@@ -240,7 +240,15 @@ object MsgpackDecode {
       require(readArrayHeader(c) == 2, "entry must be a 2-array")
       val (sec, nsec) = readTime(c)
       val m = readMapHeader(c)
-      val rec = (0 until m).map(_ => readStr(c) -> readStr(c)).toMap
+      val rec = (0 until m).map { _ =>
+        val k = readStr(c)
+        // a msgpack nil KEY would become a null Scala map key, which
+        // Spark's map encoder rejects — reject the frame here so the
+        // lenient path treats a crafted frame as undecodable instead of
+        // letting it crash the ingest job downstream
+        require(k != null, "nil record key")
+        k -> readStr(c)
+      }.toMap
       Entry(sec, nsec, rec)
     }
     (tag, entries)

@@ -67,6 +67,9 @@ object NetworkSources {
 
     private def handle(s: Socket): Unit = {
       try {
+        // IO errors are expected lifecycle events here, not crashes:
+        // close() actively closes still-open persistent connections (the
+        // blocked read throws "Socket closed"), and scanners RST at will
         val in = s.getInputStream
         val buf = new ConnBuf
         conns.add(buf) // registered up front: a PERSISTENT connection's
@@ -89,6 +92,8 @@ object NetworkSources {
           n = in.read(chunk)
         }
         lastActivity = System.nanoTime()
+      } catch {
+        case _: java.io.IOException => () // closed under us / peer reset
       } finally { s.close(); openSockets.remove(s) }
     }
 
@@ -187,10 +192,14 @@ object NetworkSources {
     import spark.implicits._
     // strip ONE trailing newline then split — interior blank lines are
     // records (same convention as HeadSource/LocalSources; "\n\\z", not
-    // "\n$", so a trailing blank line survives too)
+    // "\n$", so a trailing blank line survives too). binary→string CAST,
+    // not decode(): Spark 4's decode throws MALFORMED_CHARACTER_CODING on
+    // invalid UTF-8, and a port scanner's garbage must not kill the job —
+    // the cast passes bytes through un-validated like the reference's raw
+    // buffer handling
     payloads.zipWithIndex.toDF("bytes", "conn")
       .select(explode(split(
-          regexp_replace(decode(col("bytes"), "UTF-8"), "\n\\z", ""), "\n")).as("line"),
+          regexp_replace(col("bytes").cast("string"), "\n\\z", ""), "\n")).as("line"),
         concat(lit("conn-"), col("conn")).as("file"))
       .withColumn("tag", lit(tag))
   }

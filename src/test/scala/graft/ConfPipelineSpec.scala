@@ -375,6 +375,14 @@ class ConfPipelineSpec extends AnyFunSuite {
       _.matches("""\{"date":"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z", .*\}""")))
   }
 
+  // a free port found by binding ephemeral then releasing — the conf text
+  // needs a concrete number before load() binds (tiny reuse race, but no
+  // collision with a fixed constant another process may hold)
+  private def freePort(): Int = {
+    val ss = new java.net.ServerSocket(0)
+    try ss.getLocalPort finally ss.close()
+  }
+
   // connect with retries: load() binds the listener partway through, after
   // parsers.conf parsing — the client must wait the bind out
   private def connectRetrying(port: Int): java.net.Socket = {
@@ -383,7 +391,8 @@ class ConfPipelineSpec extends AnyFunSuite {
       try return new java.net.Socket("127.0.0.1", port)
       catch { case _: java.net.ConnectException => attempts += 1; Thread.sleep(50) }
     }
-    throw new IllegalStateException(s"listener on $port never came up")
+    throw new IllegalStateException(
+      s"listener on $port never came up (or load() failed before binding — check the Future's exception)")
   }
 
   test("conf tcp input: live socket drains into the standard line frame") {
@@ -391,7 +400,7 @@ class ConfPipelineSpec extends AnyFunSuite {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     import spark.implicits._
-    val port = 36719
+    val port = freePort()
     val conf =
       s"""[INPUT]
          |    Name tcp
@@ -417,7 +426,7 @@ class ConfPipelineSpec extends AnyFunSuite {
       .toDF("tag", "sec", "nsec", "record", "ord")
     val frame = graft.sinks.Forward.frames(df, "tag", "sec", "nsec", "record", "ord")
       .select("frame").as[Array[Byte]].head()
-    val port = 36720
+    val port = freePort()
     val conf =
       s"""[INPUT]
          |    Name forward
