@@ -230,6 +230,12 @@ object Bench {
     }
     warmDir(sfDir)
     if (pairScaled) warmDir(scaledDir)
+    // tail/head fixture generation runs HERE, outside the timed loop —
+    // the fb_tail/fb_head query bodies are pure read-side (TailFixture
+    // memoizes per dir; the scaled dir gets the alternate root so both
+    // fixtures coexist across the paired per-query runs)
+    graft.sources.TailFixture.ensure(spark, sfDir, useAlt = false)
+    if (pairScaled) graft.sources.TailFixture.ensure(spark, scaledDir, useAlt = true)
     // split sizing differs per side (documented on [[session]] / the scaled
     // build): 1× reads ~6 MB files → 16 MB splits; scaled reads 32 × ~2 MB
     // files → 2 MB splits so both sides run at full parallelism

@@ -346,42 +346,24 @@ object SparkEntry {
 
     // -- in_tail source face (plugins/in_tail): glob read, newline split,
     //    dynamic tag composed from the dotted file path — exercised over a
-    //    deterministic two-file fixture written from the table ids (even
-    //    ids → app0.log, odd → app1.log; the driver-side write is a
-    //    FIXTURE GENERATOR, not an operator path)
+    //    deterministic two-file fixture derived from the table ids (even
+    //    ids → app0.log, odd → app1.log). The fixture generator lives in
+    //    [[graft.sources.TailFixture]], memoized per input dir: Bench
+    //    prep builds it OUTSIDE the timed loop, so this body is pure
+    //    read-side (no driver collect/file-write in a timing)
     "fb_tail" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths}
-      import s.implicits._
-      val ids = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id")).as[Long].collect().sorted
-      val root = Paths.get("/tmp/graft_tail_fixture")
-      Files.createDirectories(root)
-      (0 to 1).foreach { k =>
-        val sb = new StringBuilder
-        ids.filter(_ % 2 == k).foreach(id => sb.append(s"line $id\n"))
-        Files.writeString(root.resolve(s"app$k.log"), sb.toString)
-      }
-      graft.sources.TailSource.lines(s, "/tmp/graft_tail_fixture/*.log", "tail.*")
+      val root = graft.sources.TailFixture.root(s, dir)
+      graft.sources.TailSource.lines(s, s"$root/*.log", "tail.*")
         .select(col("line"), col("tag"))
     }),
 
     // -- in_head source face (in_head.c:40-118): first `lines` lines of
     //    each matched file as ONE record per file under `head`, Add_Path
-    //    on — reuses the fb_tail fixture (writes it independently so
-    //    query order never matters)
+    //    on — reads the shared TailFixture (memoized; query order never
+    //    matters)
     "fb_head" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths}
-      import s.implicits._
-      val ids = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id")).as[Long].collect().sorted
-      val root = Paths.get("/tmp/graft_tail_fixture")
-      Files.createDirectories(root)
-      (0 to 1).foreach { k =>
-        val sb = new StringBuilder
-        ids.filter(_ % 2 == k).foreach(id => sb.append(s"line $id\n"))
-        Files.writeString(root.resolve(s"app$k.log"), sb.toString)
-      }
-      graft.sources.HeadSource(s, "/tmp/graft_tail_fixture/*.log",
+      val root = graft.sources.TailFixture.root(s, dir)
+      graft.sources.HeadSource(s, s"$root/*.log",
           tagPattern = "head.*", lines = 3, addPath = true)
         .select(col("head"), col("tag"), col("path"))
     }),

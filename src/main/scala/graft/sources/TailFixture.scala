@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Shared on-disk fixture for the `in_tail` / `in_head` source faces:
+  * two line files (even doc_ids → app0.log, odd → app1.log) derived from
+  * a testdata dir's `documents.parquet`.
+  *
+  * The generation (a driver-side collect + file write) used to live
+  * INSIDE the registered fb_tail/fb_head query bodies, so bench timings
+  * and 10× growth ratios measured the generator as much as the operator
+  * path (round-5 VERDICT item 4 / ADVICE). It now runs once per input
+  * dir, memoized by a marker recording the dir and its parquet file
+  * signature — inside a timed query [[root]] is two small file reads.
+  *
+  * Two roots exist because the bench holds the 1× and the scaled
+  * fixture simultaneously (paired per-query runs alternate dirs every
+  * few seconds). The ORACLE's expected tag embeds the PLAIN path
+  * (`tail.tmp.graft_tail_fixture.appK.log`), so the oracle-checked dir
+  * must land on [[plainRoot]] — Bench prep reserves [[altRoot]] for the
+  * scaled dir, and lazy generation (Verify, ad-hoc use) always takes the
+  * plain root.
+  */
+object TailFixture {
+
+  val plainRoot = "/tmp/graft_tail_fixture"
+  val altRoot = "/tmp/graft_tail_fixture_alt"
+  private val markerName = "_GRAFT_FIXTURE_OK"
+
+  /** Filesystem signature of the dir's documents table — regeneration
+    * triggers on any file-set/size/mtime change, with no Spark job.
+    */
+  private def sig(dir: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val files =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
+    dir + "|" + files.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      .mkString(",")
+  }
+
+  private def isCurrent(root: String, want: String): Boolean = {
+    val m = Paths.get(root, markerName)
+    Files.exists(m) && Files.readString(m) == want
+  }
+
+  /** The fixture root for `dir`, generating at the plain root only when
+    * neither root already holds a current fixture for this dir.
+    */
+  def root(spark: SparkSession, dir: String): String = {
+    val want = sig(dir)
+    if (isCurrent(plainRoot, want)) plainRoot
+    else if (isCurrent(altRoot, want)) altRoot
+    else ensure(spark, dir, useAlt = false)
+  }
+
+  /** Build (or reuse) the fixture for `dir` at the chosen root. Bench
+    * prep calls this for both of its input dirs BEFORE the timed query
+    * loop (`useAlt = true` for the scaled dir).
+    */
+  def ensure(spark: SparkSession, dir: String, useAlt: Boolean): String = {
+    val r = if (useAlt) altRoot else plainRoot
+    val want = sig(dir)
+    if (isCurrent(r, want)) return r
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long].collect().sorted
+    Files.createDirectories(Paths.get(r))
+    (0 to 1).foreach { k =>
+      val sb = new StringBuilder
+      ids.filter(_ % 2 == k).foreach(id => sb.append(s"line $id\n"))
+      Files.writeString(Paths.get(r, s"app$k.log"), sb.toString)
+    }
+    Files.writeString(Paths.get(r, markerName), want)
+    r
+  }
+}
