@@ -92,8 +92,16 @@ object ConfPipeline {
       filtered: DataFrame,
       outputs: Seq[OutputSpec])
 
-  def load(spark: SparkSession, confText: String, parsersText: String): Loaded = {
-    val sections = ConfParser.parse(confText)
+  def load(spark: SparkSession, confText: String, parsersText: String): Loaded =
+    load(spark, confText, parsersText, new ConfParser.Env())
+
+  /** `env` carries `@SET` metas and `${VAR}` lookups (flb_env semantics —
+    * see [[graft.conf.ConfParser.Env]]); injectable so specs don't depend
+    * on the process environment.
+    */
+  def load(spark: SparkSession, confText: String, parsersText: String,
+           env: ConfParser.Env): Loaded = {
+    val sections = ConfParser.parse(confText, env)
     val parsers = ParserConfLoader.load(parsersText)
 
     // ---- INPUT (first supported section wins; multiple inputs → union)
@@ -151,21 +159,49 @@ object ConfPipeline {
             case None => df
           }
         case Some("tcp") | Some("syslog") =>
-          // in_tcp (tcp_conn.c) / in_syslog Mode tcp (syslog_prot.c:96):
-          // bind Port, drain until the socket goes quiet, one (line, file,
-          // tag) record per line — the batch semantics of the reference's
+          // in_tcp (tcp_conn.c) / in_syslog (syslog_conf.c:48-68): bind
+          // Port, drain until the socket goes quiet, one (line, file, tag)
+          // record per line — the batch semantics of the reference's
           // buffer-then-flush engine; a Parser option parses each line
-          // like the reference's syslog path
+          // like the reference's syslog path.
+          //
+          // syslog Mode: the reference accepts unix_udp (default) /
+          // unix_tcp / tcp. DOCUMENTED DEVIATION: no unix domain sockets
+          // offline — unix_udp maps to a localhost UDP datagram socket
+          // (one datagram = one record, syslog_prot.c consumes whole
+          // messages) and unix_tcp to the localhost TCP listener; plain
+          // `udp` is accepted as an alias for the datagram face. in_tcp
+          // has no Mode and always streams TCP.
           val port = s.get("Port").map(_.toInt).getOrElse(
             throw new IllegalArgumentException("tcp/syslog input needs Port"))
           val tag = s.get("Tag").getOrElse(s.get("Name").get.toLowerCase + ".0")
-          val l = graft.sources.NetworkSources.listen(port)
-          val payloads =
-            try l.drainUntilQuiet(
-              s.get("Quiet_Ms").map(_.toLong).getOrElse(300L),
-              s.get("Timeout_Ms").map(_.toLong).getOrElse(30000L))
-            finally l.close()
-          val df = graft.sources.NetworkSources.lineRows(spark, payloads, tag)
+          val isSyslog = s.get("Name").get.equalsIgnoreCase("syslog")
+          val mode = s.get("Mode").map(_.toLowerCase) match {
+            case Some(m @ ("unix_udp" | "unix_tcp" | "tcp" | "udp")) if isSyslog => m
+            case Some(m) if isSyslog =>
+              // syslog_conf.c:60-64 — unknown mode is a config error
+              throw new IllegalArgumentException(s"Unknown syslog mode $m")
+            case Some(m) =>
+              throw new IllegalArgumentException(s"tcp input has no Mode (got $m)")
+            case None => if (isSyslog) "unix_udp" else "tcp"
+          }
+          val quietMs = s.get("Quiet_Ms").map(_.toLong).getOrElse(300L)
+          val timeoutMs = s.get("Timeout_Ms").map(_.toLong).getOrElse(30000L)
+          val df =
+            if (mode == "unix_udp" || mode == "udp") {
+              val l = graft.sources.NetworkSources.listenUdp(port)
+              val datagrams =
+                try l.drainUntilQuiet(quietMs, timeoutMs) finally l.close()
+              graft.sources.NetworkSources.datagramRows(spark, datagrams, tag)
+            } else {
+              val l = graft.sources.NetworkSources.listen(port)
+              val (payloads, deferred) =
+                try l.drainUntilQuietLines(quietMs, timeoutMs) finally l.close()
+              if (deferred > 0)
+                System.err.println(
+                  s"[conf-${s.get("Name").get.toLowerCase}] deferred $deferred unterminated tail bytes (open connection mid-line)")
+              graft.sources.NetworkSources.lineRows(spark, payloads, tag)
+            }
           s.get("Parser").flatMap(parsers.get) match {
             case Some(p) =>
               val parsed = ParserFilter.flatten("line", p)(df)

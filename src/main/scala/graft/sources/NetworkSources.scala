@@ -37,6 +37,10 @@ object NetworkSources {
     */
   private final class ConnBuf {
     private val buf = new ByteArrayOutputStream()
+    /** Set by the handler thread once the peer closed (EOF/reset): a
+      * closed connection's buffer is final, an open one may be mid-record.
+      */
+    @volatile var closed = false
     def append(chunk: Array[Byte], n: Int): Unit = synchronized { buf.write(chunk, 0, n) }
     def size: Int = synchronized { buf.size() }
     def snapshot(): Array[Byte] = synchronized { buf.toByteArray }
@@ -66,12 +70,12 @@ object NetworkSources {
     started.await()
 
     private def handle(s: Socket): Unit = {
+      val buf = new ConnBuf
       try {
         // IO errors are expected lifecycle events here, not crashes:
         // close() actively closes still-open persistent connections (the
         // blocked read throws "Socket closed"), and scanners RST at will
         val in = s.getInputStream
-        val buf = new ConnBuf
         conns.add(buf) // registered up front: a PERSISTENT connection's
         // bytes are visible to the drainer without waiting for EOF (the
         // fluentd forward protocol holds connections open for reuse)
@@ -94,7 +98,7 @@ object NetworkSources {
         lastActivity = System.nanoTime()
       } catch {
         case _: java.io.IOException => () // closed under us / peer reset
-      } finally { s.close(); openSockets.remove(s) }
+      } finally { buf.closed = true; s.close(); openSockets.remove(s) }
     }
 
     /** Connections dropped for exceeding `maxConnBytes`. */
@@ -108,6 +112,44 @@ object NetworkSources {
       */
     def drainUntilQuiet(quietMillis: Long = 300,
                         timeoutMillis: Long = 30000): Seq[Array[Byte]] = {
+      awaitQuiet(quietMillis, timeoutMillis)
+      import scala.jdk.CollectionConverters._
+      conns.iterator().asScala.map(_.snapshot()).filter(_.nonEmpty).toSeq
+    }
+
+    /** Line-mode drain for the `in_tcp`/syslog faces: like
+      * [[drainUntilQuiet]], but a STILL-OPEN connection's snapshot is cut
+      * at its last newline — the reference's in_tcp buffers bytes until
+      * the separator arrives (`tcp_conn.c`), so a sender pausing mid-line
+      * must not yield a silently truncated record (plus a bogus remainder
+      * on a later drain). A CLOSED connection's buffer is final and kept
+      * whole (the engine's strip-one-trailing-newline convention makes an
+      * unterminated last segment a complete record). Returns the payloads
+      * plus the count of deferred unterminated-tail bytes, mirroring
+      * unpackFramesLenient's skipped-tail accounting on the forward path.
+      */
+    def drainUntilQuietLines(quietMillis: Long = 300,
+                             timeoutMillis: Long = 30000): (Seq[Array[Byte]], Long) = {
+      awaitQuiet(quietMillis, timeoutMillis)
+      import scala.jdk.CollectionConverters._
+      var deferred = 0L
+      val payloads = conns.iterator().asScala.flatMap { c =>
+        // read `closed` BEFORE snapshotting: a close racing in after an
+        // open-state read only costs us a flagged tail, never a torn line
+        val isClosed = c.closed
+        val snap = c.snapshot()
+        if (snap.isEmpty) None
+        else if (isClosed) Some(snap)
+        else {
+          val cut = snap.lastIndexOf('\n'.toByte) + 1
+          deferred += snap.length - cut
+          if (cut > 0) Some(java.util.Arrays.copyOfRange(snap, 0, cut)) else None
+        }
+      }.toSeq
+      (payloads, deferred)
+    }
+
+    private def awaitQuiet(quietMillis: Long, timeoutMillis: Long): Unit = {
       import scala.jdk.CollectionConverters._
       val deadline = System.nanoTime() + timeoutMillis * 1000000L
       def haveBytes = conns.iterator().asScala.exists(_.size > 0)
@@ -115,7 +157,6 @@ object NetworkSources {
              (!haveBytes ||
               System.nanoTime() - lastActivity < quietMillis * 1000000L))
         Thread.sleep(10)
-      conns.iterator().asScala.map(_.snapshot()).filter(_.nonEmpty).toSeq
     }
 
     def close(): Unit = {
@@ -180,6 +221,21 @@ object NetworkSources {
         entries.map(e => Forward.ForwardRow(tag, e.sec, e.nsec, e.record))
       }
     }
+  }
+
+  /** Syslog datagram ingest (`in_syslog` Mode unix_udp/udp): one datagram
+    * = one record already — no separator split; a trailing newline inside
+    * a datagram is stripped like the line path does, interior newlines
+    * stay (the whole datagram IS the message, syslog_prot.c).
+    */
+  def datagramRows(spark: SparkSession, datagrams: Seq[String],
+                   tag: String = "syslog.0"): DataFrame = {
+    import spark.implicits._
+    datagrams.zipWithIndex.toDF("raw", "dgram")
+      .select(
+        regexp_replace(col("raw"), "\n\\z", "").as("line"),
+        concat(lit("dgram-"), col("dgram")).as("file"))
+      .withColumn("tag", lit(tag))
   }
 
   /** `in_tcp` / syslog-socket ingest: newline-delimited payloads → one

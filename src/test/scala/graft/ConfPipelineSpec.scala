@@ -274,6 +274,55 @@ class ConfPipelineSpec extends AnyFunSuite {
     assert(written.forall(_.matches("""logs\..*: \[\d+\.\d{6}, \{("[^"]+":.*, )*"[^"]+":.*\}\]""")))
   }
 
+  test("env var translation: ${VAR} from @SET, real env, HOSTNAME preset, unset→empty (flb_env.c:177-264, flb_meta.c:28-68)") {
+    import graft.conf.ConfParser
+    val env = new ConfParser.Env(real = Map("PORT" -> "5140").get)
+    // hash (@SET) wins over the real environment; metas apply file-wide
+    // even when they appear after the section (fluent-bit.c:386-391)
+    val text =
+      """[INPUT]
+        |    Name  tcp
+        |    Port  ${PORT}
+        |    Tag   ${APP}.${UNSET_XYZ}in
+        |@SET APP=front
+        |""".stripMargin
+    val s = ConfParser.parse(text, env).head
+    assert(s.get("Port").contains("5140"))
+    // unset var warns and substitutes empty; set var substitutes in-place
+    assert(s.get("Tag").contains("front.in"))
+    // HOSTNAME preset (flb_env.c:63-88) when the real env lacks it
+    assert(env.translate("${HOSTNAME}").nonEmpty)
+    // value that is ONLY an unset variable becomes the empty string
+    assert(env.translate("${NOPE_ABC}") == "")
+    // no variables → value untouched; unterminated ${ left as-is
+    assert(env.translate("plain $HOME {x}") == "plain $HOME {x}")
+    assert(env.translate("a${unterminated") == "a${unterminated")
+    // @SET with no '=' is rejected, later @SET overrides earlier
+    val e2 = new ConfParser.Env(real = _ => None)
+    ConfParser.parse("@SET bad\n@SET k=1\n@SET k=2\n", e2)
+    assert(e2.get("k").contains("2") && e2.get("bad").isEmpty)
+  }
+
+  test("env-parameterized .conf end-to-end: ${LOG_DIR} path + @SET tag prefix") {
+    val dir = Files.createTempDirectory("graft-conf-env").toString
+    Files.writeString(Paths.get(dir, "svc.log"), "alpha\nbeta\n")
+    val conf =
+      s"""@SET PREFIX=envtag
+         |[INPUT]
+         |    Name  tail
+         |    Path  $${LOG_DIR}/*.log
+         |    Tag   $${PREFIX}.*
+         |
+         |[OUTPUT]
+         |    Name   counter
+         |    Match  $${PREFIX}.*
+         |""".stripMargin
+    val env = new graft.conf.ConfParser.Env(real = Map("LOG_DIR" -> dir).get)
+    val loaded = ConfPipeline.load(spark, conf, parsersConf, env)
+    val results = ConfPipeline.run(loaded, s"$dir/out").toMap
+    assert(results("counter_0") == 2L)
+  }
+
   test("Buf_Size suffixes (flb_utils_size_to_bytes, flb_utils.c:312-376)") {
     import graft.run.ConfPipeline.sizeToBytes
     assert(sizeToBytes("256") == 256L)
@@ -414,6 +463,58 @@ class ConfPipelineSpec extends AnyFunSuite {
     val out = Await.result(fut, 30.seconds)
     assert(out.select("line").as[String].collect().toSet == Set("alpha", "beta"))
     assert(out.select("tag").distinct().as[String].collect().toSeq == Seq("net.0"))
+  }
+
+  test("conf syslog input Mode unix_udp: one datagram = one parsed record (syslog_conf.c:48-68)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    // udp needs no freePort dance for bind-vs-connect ordering, but the
+    // conf text still needs a concrete number before load() binds
+    val port = freePort()
+    val conf =
+      s"""[INPUT]
+         |    Name   syslog
+         |    Mode   unix_udp
+         |    Port   $port
+         |    Tag    sl.0
+         |    Parser syslog-rfc3164
+         |""".stripMargin
+    val shippedParsers = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/parsers_shipped.conf"), "UTF-8").mkString
+    val fut = Future(ConfPipeline.load(spark, conf, shippedParsers).filtered)
+    val sock = new java.net.DatagramSocket()
+    val addr = new java.net.InetSocketAddress("127.0.0.1", port)
+    // datagrams race load()'s bind — resend until the drain picks them up
+    val msgs = Seq(
+      "<13>Jul 17 20:17:03 host-3 app7[42]: message 3",
+      "<5>Jul 17 20:17:04 host-4 app8[43]: message 4")
+    val sender = new Thread(() => {
+      (0 until 100).foreach { _ =>
+        try msgs.foreach(m =>
+          sock.send(new java.net.DatagramPacket(m.getBytes("UTF-8"), m.length, addr)))
+        catch { case _: java.io.IOException => () }
+        Thread.sleep(100)
+      }
+    })
+    sender.setDaemon(true)
+    sender.start()
+    val out = Await.result(fut, 30.seconds)
+    sock.close()
+    // dedupe (the resend loop may land the pair several times): distinct
+    // parsed records prove one-datagram-one-record and the parser chain
+    val got = out.select("ident", "pid", "message").distinct()
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("app7", "42", "message 3"), ("app8", "43", "message 4")))
+    assert(out.select("tag").distinct().as[String].collect().toSeq == Seq("sl.0"))
+    // unknown Mode is a config error (syslog_conf.c:60-64); tcp has no Mode
+    val bad = intercept[IllegalArgumentException](ConfPipeline.load(spark,
+      s"[INPUT]\n    Name syslog\n    Mode carrier_pigeon\n    Port 1\n", parsersConf))
+    assert(bad.getMessage.contains("Unknown syslog mode"))
+    val bad2 = intercept[IllegalArgumentException](ConfPipeline.load(spark,
+      s"[INPUT]\n    Name tcp\n    Mode udp\n    Port 1\n", parsersConf))
+    assert(bad2.getMessage.contains("no Mode"))
   }
 
   test("conf forward input: msgpack frames over a live socket become typed columns") {

@@ -65,6 +65,28 @@ class NetworkSourcesSpec extends AnyFunSuite {
     } finally l.close()
   }
 
+  test("line drain cuts an OPEN connection at its last newline; a closed one keeps its tail") {
+    val l = NetworkSources.listen()
+    try {
+      // sender 1 pauses mid-line and stays OPEN: "gamma" must NOT surface
+      // as a truncated record this drain
+      val open = new java.net.Socket("127.0.0.1", l.port)
+      open.getOutputStream.write("alpha\nbeta\ngam".getBytes("UTF-8"))
+      open.getOutputStream.flush()
+      // sender 2 closes without a trailing newline: final segment is a
+      // complete record (strip-one-trailing-newline convention)
+      val closed = new java.net.Socket("127.0.0.1", l.port)
+      closed.getOutputStream.write("one\ntwo".getBytes("UTF-8"))
+      closed.close()
+      val (payloads, deferred) = l.drainUntilQuietLines()
+      val lines = NetworkSources.lineRows(spark, payloads).select("line")
+        .as[String].collect().toSet
+      assert(lines == Set("alpha", "beta", "one", "two"))
+      assert(deferred == 3L) // "gam"
+      open.close()
+    } finally l.close()
+  }
+
   test("in_tcp lines over a real socket; a syslog line parses through the standard chain") {
     val l = NetworkSources.listen()
     try {
