@@ -158,6 +158,23 @@ object ConfPipeline {
               else parsed
             case None => df
           }
+        case Some("stdin") =>
+          // in_stdin (in_stdin.c:88-180): read stdin to EOF, one record
+          // per line. The reference's default mode consumes a JSON-map
+          // stream — mirrored by defaulting Parser to the shipped `json`
+          // definition when the corpus has one; an explicit Parser wins,
+          // and without either the raw line frame passes through.
+          val tag = s.get("Tag").getOrElse("stdin.0")
+          val df = graft.sources.StdinSource(
+            spark, graft.sources.StdinSource.stream(), tag)
+          s.get("Parser").flatMap(parsers.get).orElse(parsers.get("json")) match {
+            case Some(p) =>
+              val parsed = ParserFilter.flatten("line", p)(df)
+              if (p.timeKey.isDefined && p.timeFormat.isDefined)
+                parsed.withColumn("ts", p.eventTime(col("line")))
+              else parsed
+            case None => df
+          }
         case Some("tcp") | Some("syslog") =>
           // in_tcp (tcp_conn.c) / in_syslog (syslog_conf.c:48-68): bind
           // Port, drain until the socket goes quiet, one (line, file, tag)
@@ -243,10 +260,20 @@ object ConfPipeline {
               timestamp_micros(col("_fus")).as("ts") +:
               // record keys named 'tag'/'ts' would duplicate the frame
               // columns and make every downstream reference ambiguous —
-              // prefix them (the reference keeps record keys in their own
-              // namespace; flattening to columns conflates the two)
-              keys.map(k => col("_rec").getItem(k)
-                .as(if (k == "tag" || k == "ts") "_" + k else k)): _*)
+              // prefix them, re-prefixing until the name is unused (a
+              // record carrying BOTH 'tag' and a literal '_tag' must not
+              // produce duplicate output columns; the reference keeps
+              // record keys in their own namespace, flattening to columns
+              // conflates the two)
+              keys.map { k =>
+                val out =
+                  if (k == "tag" || k == "ts") {
+                    var cand = "_" + k
+                    while (keys.contains(cand)) cand = "_" + cand
+                    cand
+                  } else k
+                col("_rec").getItem(k).as(out)
+              }: _*)
         case other =>
           throw new IllegalArgumentException(s"unsupported input $other")
       }
@@ -429,6 +456,14 @@ object ConfPipeline {
                 .withColumn("_nsec", lit(0))
                 .withColumn("_rec", map(recCols.flatMap(c =>
                   Seq(lit(c), col(c).cast("string"))): _*))
+                // DOCUMENTED DEVIATION: entry order within a frame is
+                // xxhash64 of the first record column — arbitrary but
+                // deterministic. The reference preserves chunk ARRIVAL
+                // order (msgpack buffer append order); a distributed
+                // shuffle has no arrival order to preserve, and no stable
+                // input ordinal survives the filter chain, so a content
+                // hash stands in. The conf-forward oracle and the frame
+                // round-trip specs compare under this same order.
                 .withColumn("_ord", xxhash64(col(recCols.head))),
               "tag", "_sec", "_nsec", "_rec", "_ord", timeAsInteger = timeAsInt)
               .write.mode("overwrite").parquet(path)

@@ -59,6 +59,36 @@ object HeadSource {
   }
 }
 
+object StdinSource {
+
+  /** Conf-surface injection point: the CLI leaves it None (real stdin);
+    * specs set a ByteArrayInputStream so tests never steal the JVM's
+    * stdin. Cleared by the spec after use.
+    */
+  @volatile var overrideStream: Option[java.io.InputStream] = None
+  def stream(): java.io.InputStream = overrideStream.getOrElse(System.in)
+
+  /** `in_stdin` (`plugins/in_stdin/in_stdin.c:88-180`): read the stream
+    * to EOF (the reference's collect loop reads until stdin closes and
+    * then exits the engine), one record per newline-delimited segment in
+    * the engine's (line, file, tag) frame, file = "stdin". Parsing is
+    * the conf surface's job: the reference's default mode consumes a
+    * stream of JSON maps (`flb_pack_json_state`, in_stdin.c:117-148) —
+    * mirrored by defaulting `Parser` to the shipped `json` definition —
+    * and a configured Parser handles each line instead
+    * (in_stdin.c:150-168).
+    */
+  def apply(spark: SparkSession, in: java.io.InputStream = System.in,
+            tag: String = "stdin.0"): DataFrame = {
+    import spark.implicits._
+    val text = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    text.split("\n", -1).toIndexedSeq.filter(_.nonEmpty)
+      .toDF("line")
+      .withColumn("file", lit("stdin"))
+      .withColumn("tag", lit(tag))
+  }
+}
+
 object ExecSource {
 
   /** `in_exec` (`plugins/in_exec/in_exec.c:46-100`): run `command` via the

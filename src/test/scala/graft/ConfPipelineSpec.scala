@@ -517,6 +517,31 @@ class ConfPipelineSpec extends AnyFunSuite {
     assert(bad2.getMessage.contains("no Mode"))
   }
 
+  test("conf forward input: record keys 'tag' + literal '_tag' flatten without duplicate columns") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val df = Seq(("fw.c", 1500000000L, 0,
+      Map("tag" -> "inner", "_tag" -> "literal", "msg" -> "m"), 1L))
+      .toDF("tag", "sec", "nsec", "record", "ord")
+    val frame = graft.sinks.Forward.frames(df, "tag", "sec", "nsec", "record", "ord")
+      .select("frame").as[Array[Byte]].head()
+    val port = freePort()
+    val conf = s"[INPUT]\n    Name forward\n    Port $port\n"
+    val fut = Future(ConfPipeline.load(spark, conf, parsersConf).filtered)
+    val s = connectRetrying(port)
+    s.getOutputStream.write(frame)
+    s.close()
+    val out = Await.result(fut, 30.seconds)
+    assert(out.columns.length == out.columns.distinct.length, out.columns.mkString(","))
+    val row = out.select("tag", "__tag", "_tag", "msg").collect().head
+    assert(row.getString(0) == "fw.c") // frame tag keeps the bare name
+    assert(row.getString(1) == "inner") // record 'tag' re-prefixed past '_tag'
+    assert(row.getString(2) == "literal")
+    assert(row.getString(3) == "m")
+  }
+
   test("conf forward input: msgpack frames over a live socket become typed columns") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

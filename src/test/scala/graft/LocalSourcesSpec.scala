@@ -5,10 +5,11 @@ import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.sources.{ExecSource, HeadSource}
+import graft.sources.{ExecSource, HeadSource, StdinSource}
 
-/** `in_head` / `in_exec` — the two local-IO inputs beyond tail
-  * (`plugins/in_head/in_head.c`, `plugins/in_exec/in_exec.c`).
+/** `in_head` / `in_exec` / `in_stdin` — the local-IO inputs beyond tail
+  * (`plugins/in_head/in_head.c`, `plugins/in_exec/in_exec.c`,
+  * `plugins/in_stdin/in_stdin.c`).
   */
 class LocalSourcesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -65,6 +66,45 @@ class LocalSourcesSpec extends AnyFunSuite {
     val got = ExecSource(spark, "printf 'x 1\\ny 2\\n'", "cmd.0")
       .select("line", "tag").as[(String, String)].collect().toSeq
     assert(got == Seq(("x 1", "cmd.0"), ("y 2", "cmd.0")))
+  }
+
+  test("stdin: read to EOF, one record per line (in_stdin.c:88-180)") {
+    val in = new java.io.ByteArrayInputStream("a 1\nb 2\n".getBytes("UTF-8"))
+    val got = StdinSource(spark, in, "si.0")
+      .select("line", "file", "tag").as[(String, String, String)].collect().toSeq
+    assert(got == Seq(("a 1", "stdin", "si.0"), ("b 2", "stdin", "si.0")))
+  }
+
+  test("conf surface: [INPUT] stdin defaults to the json parser (in_stdin default JSON mode)") {
+    val json =
+      """{"log":"keep 1","stream":"stdout","time":"x"}
+        |{"log":"drop 2","stream":"stderr","time":"y"}
+        |{"log":"keep 3","stream":"stdout","time":"z"}
+        |""".stripMargin
+    StdinSource.overrideStream = Some(new java.io.ByteArrayInputStream(json.getBytes("UTF-8")))
+    try {
+      val conf =
+        """[INPUT]
+          |    Name stdin
+          |    Tag  si.json
+          |
+          |[FILTER]
+          |    Name   grep
+          |    Match  *
+          |    Regex  log ^keep
+          |""".stripMargin
+      // parsers text includes the shipped-style json definition the
+      // default mode resolves (schema-on-read docker fields)
+      val parsers =
+        """[PARSER]
+          |    Name   json
+          |    Format json
+          |""".stripMargin
+      val out = graft.run.ConfPipeline.load(spark, conf, parsers).filtered
+      assert(out.columns.contains("log") && out.columns.contains("stream"))
+      assert(out.select("log").as[String].collect().toSet == Set("keep 1", "keep 3"))
+      assert(out.select("tag").distinct().as[String].collect().toSeq == Seq("si.json"))
+    } finally StdinSource.overrideStream = None
   }
 
   test("conf surface: [INPUT] exec + grep filter end-to-end") {
