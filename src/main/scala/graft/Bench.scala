@@ -31,6 +31,25 @@ import graft.sources.TokenTable
   */
 object Bench {
 
+  /** Headline growth for one query from its first-attempt growth `g` and
+    * the re-measure attempts (1×, scaled) — see the re-measure loop for
+    * the protocol: no attempts → `g`; one agreeing attempt (both over
+    * threshold) → warm min; two attempts (the re-roll straddled the
+    * threshold, so a tie-break pair ran) → median of the three, so one
+    * lucky sub-threshold roll cannot mask a reproducing super-linear
+    * plan, and a cold first attempt cannot survive two warm refutations.
+    */
+  private[graft] def finalGrowth(g: Double, attempts: Seq[(Double, Double)]): Double = {
+    val rolls = attempts.collect { case (a, b) if a > 0 && b > 0 => b / a }
+    rolls.size match {
+      case 0 => g
+      case 1 => math.min(g, rolls.head)
+      case _ =>
+        val all = (g +: rolls).sorted
+        all(all.size / 2)
+    }
+  }
+
   private[graft] def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -287,19 +306,31 @@ object Bench {
       (name, fn, t1, tS)
     }
     // outlier re-measure: a pair whose growth exceeds 1.2×factor gets ONE
-    // more back-to-back warm pair (now BOTH sides are steady-state); the
-    // map takes the per-attempt-min growth, and both attempts are
-    // published (`growth_first_attempt`) so a genuinely super-linear plan
-    // cannot hide behind the re-roll — it reproduces, noise does not.
+    // more back-to-back warm pair (now BOTH sides are steady-state). If
+    // the re-roll lands on the OTHER side of the threshold — the first
+    // attempt said super-linear, the warm pair said noise — one single
+    // lucky re-roll must not settle it (round-5 ADVICE): a TIE-BREAK pair
+    // runs and the headline takes the MEDIAN of the three growths, so
+    // noise has to confirm twice and a genuinely super-linear plan that
+    // reproduces in either warm pair keeps an over-threshold headline.
+    // When first attempt and re-roll agree (both over), the per-attempt
+    // min stands (both are warm-credible). All attempts are published
+    // (`growth_first_attempt`).
     val rerunThreshold = scaledFactor * 1.2
-    val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
     if (pairScaled) pairs.foreach { case (name, fn, t1, tS) =>
       if (t1 > 0 && tS > 0 && tS / t1 > rerunThreshold) {
         try {
           val r1 = timed(fn, sfDir, scaled = false)
           val rS = timed(fn, scaledDir, scaled = true)
           System.err.println(f"[bench] re-measured outlier $name: first ${tS / t1}%.1fx, rerun ${rS / r1}%.1fx")
-          remeasured(name) = (r1, rS)
+          if (rS / r1 < rerunThreshold) {
+            // disagreement across the threshold — arbitrate with a third pair
+            val u1 = timed(fn, sfDir, scaled = false)
+            val uS = timed(fn, scaledDir, scaled = true)
+            System.err.println(f"[bench] tie-break pair $name: ${uS / u1}%.1fx")
+            remeasured(name) = Seq((r1, rS), (u1, uS))
+          } else remeasured(name) = Seq((r1, rS))
         } catch {
           // a failed re-roll is an ERROR, not a silent fall-back to the
           // first attempt — it would make the ".md says outliers were
@@ -333,8 +364,7 @@ object Bench {
     if (sys.env.get("GRAFT_BENCH_SCALED_ONLY").contains("1")) {
       val growth = scaledResults.flatMap { case (k, sv) =>
         results.find(_._1 == k).collect { case (_, bv) if bv > 0 && sv > 0 =>
-          val g = remeasured.get(k).map { case (r1, rS) =>
-            math.min(sv / bv, rS / r1) }.getOrElse(sv / bv)
+          val g = finalGrowth(sv / bv, remeasured.getOrElse(k, Seq.empty))
           "\"" + k + "\":" + (math.round(g * 10) / 10.0) }
       }.mkString("{", ",", "}")
       val qsS = scaledResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -485,15 +515,15 @@ object Bench {
     val totalScaledSec = scaledResults.map(_._2).filter(_ > 0).sum
     // (1×, factor×, growth) triples — growth ≤ factor means the query's
     // cost class held (sub-linear in data); the max is the headline.
-    // Re-measured outliers use their per-attempt-min growth (both attempts
-    // published); noise re-rolls away, a real super-linear plan reproduces
+    // Re-measured outliers arbitrate via [[finalGrowth]] (warm min when
+    // the attempts agree, median-of-three when they straddle the
+    // threshold); every attempt is published.
     val growthFirst = scaledResults.flatMap { case (k, sv) =>
       results.find(_._1 == k).collect { case (_, bv) if bv > 0 && sv > 0 =>
         k -> sv / bv }
     }
     val growthPairs = growthFirst.map { case (k, g) =>
-      k -> remeasured.get(k).map { case (r1, rS) =>
-        if (r1 > 0 && rS > 0) math.min(g, rS / r1) else g }.getOrElse(g)
+      k -> finalGrowth(g, remeasured.getOrElse(k, Seq.empty))
     }
     // raw Double toString — locale-proof (f"%.2f" would emit ',' decimals
     // on comma-decimal locales and break the JSON)
@@ -529,9 +559,14 @@ object Bench {
         s""""queries_scaled":$qsScaled,"growth":$growthJson,""" +
         s""""max_scaled_growth":${math.round(maxGrowth * 100) / 100.0},""" +
         s""""remeasured_outliers":${remeasured.size},""" +
+        // per outlier: EVERY attempt's growth, first → re-roll → tie-break
         s""""growth_first_attempt":${
-          remeasured.keys.flatMap(k => growthFirst.find(_._1 == k).map { case (_, g) =>
-            "\"" + k + "\":" + (math.round(g * 100) / 100.0) }).mkString("{", ",", "}")},""" +
+          remeasured.map { case (k, rolls) =>
+            val first = growthFirst.find(_._1 == k).map(_._2).toSeq
+            val all = first ++ rolls.collect { case (a, b) if a > 0 && b > 0 => b / a }
+            "\"" + k + "\":" + all.map(g => math.round(g * 100) / 100.0)
+              .mkString("[", ",", "]")
+          }.mkString("{", ",", "}")},""" +
         s""""big_rows":$bigRows,"throughput_big_local32":$thrBig,""" +
         s""""query_errors":$errJson,"sf":"$sfDir"}"""
     println(json)
@@ -564,7 +599,7 @@ object Bench {
          || dedup signatures/sec (MinHash-8 + SimHash-16, local[32]) | ${"%,.0f".format(thrDedup)} |
          || per-query total (sf tables, steady-state) | ${"%.2f".format(totalSec)} s over ${results.size} queries |
          || per-query total at ${scaledFactor}× scaled tables (PAIRED: each query's 1× and ${scaledFactor}× run back-to-back in one weather window; inputs page-cache-prewarmed) | ${"%.2f".format(totalScaledSec)} s over ${scaledResults.size} queries |
-         || max per-query growth at ${scaledFactor}× (sub-linear ⇔ ≤ $scaledFactor; outliers >${"%.0f".format(rerunThreshold)} re-measured once warm-paired, min reported, first attempt published in JSON) | ${"%.1f".format(maxGrowth)}× (${remeasured.size} re-measured) |
+         || max per-query growth at ${scaledFactor}× (sub-linear ⇔ ≤ $scaledFactor; outliers >${"%.0f".format(rerunThreshold)} re-measured warm-paired — agreeing attempts report the warm min, threshold-straddling ones arbitrate by a tie-break pair and median-of-3; all attempts published in JSON) | ${"%.1f".format(maxGrowth)}× (${remeasured.size} re-measured) |
          || paired-phase weather stability (worse ÷ better bracket probe, ≤1; growth RATIOS are self-normalizing under pairing — this only reports host stability) | ${if (scaledFactor > 1) "%.2f".format(scaledWeather) else "n/a (scaled phase disabled)"} |
          || big block: parsed+routed rows/s at $bigRows rows (local[32]) | ${"%,.0f".format(thrBig)} (${"%.0f".format(100 * thrBig / thr32)}% of the ${benchRows}-row rate) |
          |

@@ -65,6 +65,35 @@ class NetworkSourcesSpec extends AnyFunSuite {
     } finally l.close()
   }
 
+  test("ingest honesty probe: the driver-socket drain rate, measured (protocol face, not the throughput path)") {
+    // NetworkSources buffers connection bytes on the driver (the
+    // reference's single event loop does the same) — a disclosed design
+    // limit. This probe puts a NUMBER on it so BENCH readers can compare
+    // the one-node ingest ceiling against the distributed pipeline rate.
+    val l = NetworkSources.listen()
+    try {
+      val rowsTarget = 200000
+      val block = (0 until 1000)
+        .map(i => f"<13>Jul 17 20:17:03 host-$i%04d app[42]: payload line $i%06d")
+        .mkString("", "\n", "\n").getBytes("UTF-8")
+      val s = new java.net.Socket("127.0.0.1", l.port)
+      val t0 = System.nanoTime()
+      val out = s.getOutputStream
+      (0 until rowsTarget / 1000).foreach(_ => out.write(block))
+      s.close()
+      val quietMs = 100L
+      val (payloads, _) = l.drainUntilQuietLines(quietMillis = quietMs)
+      // net of the mandatory quiet window — the drain returns quietMs
+      // after the last byte, which is wait, not work
+      val secs = (System.nanoTime() - t0) / 1e9 - quietMs / 1e3
+      val rows = payloads.map(_.count(_ == '\n'.toByte)).sum
+      assert(rows == rowsTarget)
+      val rate = rows / math.max(secs, 1e-3)
+      info(f"driver-socket drain: $rate%,.0f rows/s over $rowsTarget rows — single-node ingest ceiling; the distributed path (BENCH.md headline) parses+routes ~7M rows/s")
+      assert(rate > 10000, f"drain rate collapsed: $rate%.0f rows/s")
+    } finally l.close()
+  }
+
   test("line drain cuts an OPEN connection at its last newline; a closed one keeps its tail") {
     val l = NetworkSources.listen()
     try {

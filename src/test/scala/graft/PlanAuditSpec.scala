@@ -91,4 +91,43 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(shuffles == 1, s"expected 1 shuffle, saw $shuffles in:\n$s")
     }
   }
+
+  test("q_anti_join plan flips broadcast→SMJ at the threshold — both shapes pinned") {
+    // The round-5 growth outlier (23.3× cold, 8.7× warm): at 1× the orders
+    // side broadcasts; at 10× it crosses autoBroadcastJoinThreshold and the
+    // plan flips to a full-shuffle SMJ anti — the CORRECT plan at scale
+    // (an anti join cannot be bloom-pre-reduced: the kept rows are the
+    // non-matching ones, and a bloom "maybe present" can't drop them).
+    // Pin both shapes so growth at the boundary is an asserted flip, not
+    // a re-rolled surprise.
+    val dir = "/root/testdata/sf0.001"
+    def plan(): String = {
+      val q = SparkEntry.queries("q_anti_join")(spark, dir)
+      q.collect()
+      q.queryExecution.executedPlan.toString
+    }
+    // 1× shape: orders fits the default 10 MB threshold → broadcast anti
+    val small = plan()
+    assert(small.contains("BroadcastHashJoin") && small.contains("LeftAnti"),
+      s"expected broadcast anti at 1×:\n$small")
+    // over-threshold shape (10×+ orders side): force the flip the same way
+    // a big build side does, and require the shuffle anti plan
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val big = plan()
+      assert(big.contains("SortMergeJoin") && big.contains("LeftAnti"),
+        s"expected SMJ anti over the threshold:\n$big")
+      assert(!big.contains("BroadcastHashJoin"), big)
+    }
+  }
+
+  private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val saved = kvs.map { case (k, _) => k -> conf.getOption(k) }
+    kvs.foreach { case (k, v) => conf.set(k, v) }
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
