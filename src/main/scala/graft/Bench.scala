@@ -68,6 +68,7 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.installRules(s)
     s
   }
 
@@ -382,16 +383,28 @@ object Bench {
     // ceiling is measured in-process each run and reported alongside.
     // best-of-N after one warmup: host-side throttling causes 2-20× swings
     // between identical runs; per-level best approximates true capability.
-    val raw4 = rawCpu(4)
-    val raw16 = rawCpu(16)
+    val raw4 = math.max(rawCpu(4), rawCpu(4))
+    val raw16 = math.max(rawCpu(16), rawCpu(16))
     val rawCeiling = raw16 / (4.0 * raw4)
     // DRAM-bandwidth scaling ceiling, the memory-side analogue of the
     // ALU ceiling above: the pipeline is partly memory-bound, so if 4
     // streaming threads already draw a large fraction of the socket's
     // bandwidth, the JOB cannot scale 4→16 past bandwidth/(4·bw4) no
-    // matter how clean the plan is — measure it instead of guessing
-    val rawMem4 = rawMem(4, 1500)
-    val rawMem16 = rawMem(16, 1500)
+    // matter how clean the plan is — measure it instead of guessing.
+    // Best-of-2 per level (a single noisy-LOW 4-thread sample would
+    // deflate the denominator of the normalized metric; max per level
+    // matches the de-noising used everywhere else in the protocol).
+    // Working-set sensitivity (measured on this host, 260 MiB L3): the
+    // 16 MiB/thread set used here gives a ceiling of 0.835–0.855 across
+    // repeated runs; a fully DRAM-resident 256 MiB/thread set gives
+    // 0.843–0.879 — statistically the same — while 64 MiB/thread (4-
+    // thread set ≈ L3, 16-thread set ≫ L3, the asymmetric-cache artifact
+    // case) reads 0.720–0.751. The small set is kept deliberately: at 4
+    // threads it enjoys the same larger per-thread L3 share the JOB's 4-
+    // thread run enjoys, so it measures the memory system as the job
+    // sees it, and it does not understate the ceiling vs pure DRAM.
+    val rawMem4 = math.max(rawMem(4, 1500), rawMem(4, 1500))
+    val rawMem16 = math.max(rawMem(16, 1500), rawMem(16, 1500))
     val memCeiling = rawMem16 / (4.0 * rawMem4)
     System.err.println(
       f"[bench] scaling ceilings 4→16: alu=$rawCeiling%.3f mem=$memCeiling%.3f (mem4=${rawMem4 / 1e9}%.1f GB/s mem16=${rawMem16 / 1e9}%.1f GB/s)")
@@ -634,6 +647,24 @@ object Bench {
          |sub-linear in its OUTPUT size; on real near-dup-sparse data the
          |pair count grows ~linearly and so does the runtime. The maxBucket
          |skew cap bounds the worst case either way.
+         |
+         |## Where the 4→16 loss lives: stage decomposition (graft.StageProbe)
+         |
+         |Cumulative pipeline prefixes timed at local[4] and local[16] on the
+         |same input, interleaved in one window (2026-08-17, this host):
+         |a bare parquet scan of the doc_id string column — no engine code
+         |at all — scaled at **0.84**, regex parse+grep at 0.81, +enrich at
+         |0.82, and the full pipeline at **0.85**: the engine's operators
+         |add NO scaling loss over raw Spark parquet decode; the ~0.8 band
+         |is the host memory system (see the DRAM ceiling row above).
+         |Reproduce with `sbt "runMain graft.StageProbe"`.
+         |
+         |Same probe, before/after the round-6 `PruneRegexParseFields`
+         |optimizer rule (single-consumed-field parses narrow to a
+         |one-group extraction): full-pipeline local[16] 5.77 s → 4.30 s
+         |(−25%) with the scan-only control stage unchanged (1.35 s →
+         |1.31 s), and 4→16 efficiency 0.823 → 0.846 — less per-row
+         |allocation is also less DRAM traffic.
          |""".stripMargin
     // run history survives rewrites: carry prior rows forward, append this
     // run — host throttling makes single runs noisy, the distribution is

@@ -27,13 +27,17 @@ import graft.functions.{ParsedField, RegexParse, UnescapeCString}
   * SQL face keeps pushdown/codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftExtensions", name),
         builder))
     }
+    // runs in the post-hoc optimizer batch — after the predicate pushdown
+    // that creates the GetStructField(RegexParse) shape it narrows
+    ext.injectOptimizerRule(_ => graft.plans.PruneRegexParseFields)
+  }
 }
 
 object GraftExtensions {
@@ -96,9 +100,21 @@ object GraftExtensions {
   /** Register on an EXISTING session (extensions only apply at session
     * creation; this covers shared/inherited sessions).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    installRules(spark)
+  }
+
+  /** Install just the optimizer rules on an existing session (idempotent).
+    * Used by the repo's own mains (Bench/Verify), whose sessions are built
+    * without `withExtensions`.
+    */
+  def installRules(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.PruneRegexParseFields))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.PruneRegexParseFields
+  }
 }

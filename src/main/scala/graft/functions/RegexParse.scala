@@ -71,20 +71,7 @@ case class RegexParse(child: Expression, pattern: String, fields: Seq[ParsedFiel
     val vals = new Array[Any](fieldArr.length)
     var i = 0
     while (i < fieldArr.length) {
-      val g = m.group(fieldArr(i).group)
-      vals(i) =
-        if (g == null) null
-        else fieldArr(i).cast match {
-          case "integer" =>
-            try java.lang.Long.valueOf(g.trim.toLong) catch { case _: NumberFormatException => null }
-          case "float" =>
-            try java.lang.Double.valueOf(g.trim.toDouble) catch { case _: NumberFormatException => null }
-          case "bool" => java.lang.Boolean.valueOf(g.regionMatches(true, 0, "true", 0, 4))
-          case "hex" =>
-            try java.lang.Long.valueOf(java.lang.Long.parseUnsignedLong(g.trim, 16))
-            catch { case _: NumberFormatException => null }
-          case _ => UTF8String.fromString(g)
-        }
+      vals(i) = RegexParse.castGroup(m.group(fieldArr(i).group), fieldArr(i).cast)
       i += 1
     }
     new GenericInternalRow(vals)
@@ -107,9 +94,83 @@ case class RegexParse(child: Expression, pattern: String, fields: Seq[ParsedFiel
     copy(child = newChild)
 }
 
+/** Single-field projection of a [[RegexParse]]: the same one-compiled-
+  * regex, one-`find()` semantics, but only the consumed group is
+  * extracted and cast — none of the other groups' String/UTF8String
+  * copies are made. Produced by [[graft.plans.PruneRegexParseFields]]
+  * when the optimizer leaves a `GetStructField` directly over an inlined
+  * parse (the shape predicate pushdown creates for grep-style filters
+  * that consume exactly one parsed field); not written by hand.
+  *
+  * Value-identical to `RegexParse(...).getField(field.outName)`: null on
+  * pattern miss, null on absent group, casts via the SHARED
+  * [[RegexParse.castGroup]].
+  */
+case class RegexParseField(child: Expression, pattern: String, field: ParsedField)
+    extends UnaryExpression {
+
+  override def dataType: DataType = field.dataType
+  override def nullable: Boolean = true
+
+  @transient private lazy val compiled: Pattern = Pattern.compile(pattern)
+  @transient private lazy val localMatcher: ThreadLocal[java.util.regex.Matcher] =
+    ThreadLocal.withInitial(() => compiled.matcher(""))
+
+  def convert(input: UTF8String): Any = {
+    val m = localMatcher.get()
+    val cs: CharSequence =
+      if (input.isFullAscii) new RegexParse.AsciiSeq(input) else input.toString
+    m.reset(cs)
+    if (!m.find()) return null
+    RegexParse.castGroup(m.group(field.group), field.cast)
+  }
+
+  override def nullSafeEval(input: Any): Any = convert(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("parser", this, classOf[RegexParseField].getName)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)
+    val unbox = dataType match {
+      case LongType    => ".longValue()"
+      case DoubleType  => ".doubleValue()"
+      case BooleanType => ".booleanValue()"
+      case _           => ""
+    }
+    nullSafeCodeGen(ctx, ev, input => {
+      val o = ctx.freshName("o")
+      s"""
+         |Object $o = $ref.convert($input);
+         |if ($o == null) { ${ev.isNull} = true; } else { ${ev.value} = (($boxed) $o)$unbox; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RegexParse {
   def apply(c: Column, pattern: String, fields: Seq[ParsedField]): Column =
     GraftShim.column(RegexParse(GraftShim.expression(c), pattern, fields))
+
+  /** The `Types` cast applied to one extracted group — ONE renderer shared
+    * by the full-struct parse and the pruned single-field parse so the
+    * type-switch cannot drift between them (cast failure → null, the
+    * documented deviation; `flb_parser.c:827-831`).
+    */
+  private[functions] def castGroup(g: String, cast: String): Any =
+    if (g == null) null
+    else cast match {
+      case "integer" =>
+        try java.lang.Long.valueOf(g.trim.toLong) catch { case _: NumberFormatException => null }
+      case "float" =>
+        try java.lang.Double.valueOf(g.trim.toDouble) catch { case _: NumberFormatException => null }
+      case "bool" => java.lang.Boolean.valueOf(g.regionMatches(true, 0, "true", 0, 4))
+      case "hex" =>
+        try java.lang.Long.valueOf(java.lang.Long.parseUnsignedLong(g.trim, 16))
+        catch { case _: NumberFormatException => null }
+      case _ => UTF8String.fromString(g)
+    }
 
   /** Zero-copy CharSequence over an all-ASCII UTF8String (byte == char).
     * Only valid while the backing buffer is stable — consumed entirely

@@ -11,4 +11,8 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  // the optimizer rules production sessions run (Bench/Verify install the
+  // same set) — specs must exercise the plans users actually get
+  GraftExtensions.installRules(spark)
 }
