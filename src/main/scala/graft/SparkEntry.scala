@@ -405,6 +405,42 @@ object SparkEntry {
           element_at(col("record"), "m").as("m"))
     }),
 
+    // -- in_mqtt wire format (mqtt_prot.c:84-108 header/varint +
+    //    mqtt_handle_publish:199-256 layout): PUBLISH packet bytes built
+    //    per row, compared as hex — DuckDB reconstructs the bytes from the
+    //    layout constants + to_hex arithmetic (same pattern as
+    //    fb_forward_frame). Encode runs on the executors via a typed map.
+    "fb_mqtt_frame" -> ((s, dir) => {
+      import s.implicits._
+      Fixtures.seqs(s, dir).select(col("seq")).as[Long].map { seq =>
+        val bytes = graft.sources.Mqtt.publishBytes(
+          s"t/${seq % 5}", s"""{"k":$seq}""".getBytes("UTF-8"),
+          qos = (seq % 3).toInt, packetId = (seq % 100).toInt)
+        (seq, bytes)
+      }.toDF("seq", "frame")
+        .select(col("seq"), lower(hex(col("frame"))).as("frame_hex"))
+    }),
+
+    // -- in_mqtt decode (mqtt_prot_parser, mqtt_prot.c:276-388): encode ∘
+    //    decode ≡ identity, decoded DISTRIBUTED; the oracle re-derives the
+    //    original topic/qos/id/payload arithmetically, so the broker-side
+    //    parser is checked against independent arithmetic, not a second
+    //    run of itself
+    "fb_mqtt_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      Fixtures.seqs(s, dir).select(col("seq")).as[Long].map { seq =>
+        val qos = (seq % 3).toInt
+        val payload = s"""{"k":$seq}""".getBytes("UTF-8")
+        val bytes = graft.sources.Mqtt.publishBytes(
+          s"t/${seq % 5}", payload, qos, packetId = (seq % 100).toInt)
+        val (pkts, consumed, err) = graft.sources.Mqtt.decode(bytes)
+        val p = pkts.head.asInstanceOf[graft.sources.Mqtt.Publish]
+        graft.sources.MqttPublishRow(seq, p.topic, p.qos, p.packetId,
+          new String(p.payload, "UTF-8"),
+          clean = pkts.length == 1 && consumed == bytes.length && !err)
+      }.toDF()
+    }),
+
     // -- in_dummy source face (in_dummy.c:36-61): n copies of a fixed
     //    record with sequenced timestamps — the driver-checkable face of
     //    the seeded dev source (in_random stays spec-only: Spark's rand()
@@ -1456,6 +1492,42 @@ object SparkEntry {
                 CAST((doc_id * 37) % 1009 AS VARCHAR) AS code,
                 CASE WHEN doc_id % 7 = 0 THEN '-'
                      ELSE 'msg ' || CAST(doc_id % 50 AS VARCHAR) END AS m
+         FROM documents""",
+
+    "fb_mqtt_frame" ->
+      """-- MQTT PUBLISH bytes (mqtt_prot.c layout): header 0x30|qos<<1,
+         -- one-byte remaining length (bodies here are < 128 bytes by
+         -- construction), 2-byte BE topic length, topic, 2-byte packet id
+         -- when qos>0, payload
+         WITH r AS (
+           SELECT doc_id AS seq, doc_id % 3 AS qos,
+                  't/' || CAST(doc_id % 5 AS VARCHAR) AS topic,
+                  '{"k":' || CAST(doc_id AS VARCHAR) || '}' AS payload
+           FROM documents)
+         SELECT seq, concat(
+             lower(to_hex(48 + qos * 2)),
+             lpad(lower(to_hex(2 + length(topic)
+                               + CASE WHEN qos > 0 THEN 2 ELSE 0 END
+                               + length(payload))), 2, '0'),
+             '0003',
+             lower(hex(encode(topic))),
+             CASE WHEN qos > 0
+                  THEN '00' || lpad(lower(to_hex(seq % 100)), 2, '0')
+                  ELSE '' END,
+             lower(hex(encode(payload)))
+           ) AS frame_hex
+         FROM r""",
+
+    "fb_mqtt_roundtrip" ->
+      """-- encode ∘ decode ≡ identity: decoded fields must equal the
+         -- arithmetic the packets were built from; qos 0 publishes carry
+         -- no packet id (decoder reports 0)
+         SELECT doc_id AS seq,
+                't/' || CAST(doc_id % 5 AS VARCHAR) AS topic,
+                CAST(doc_id % 3 AS INT) AS qos,
+                CAST(CASE WHEN doc_id % 3 > 0 THEN doc_id % 100 ELSE 0 END AS INT) AS packet_id,
+                '{"k":' || CAST(doc_id AS VARCHAR) || '}' AS payload,
+                TRUE AS clean
          FROM documents""",
 
     "fb_dummy" ->

@@ -33,13 +33,17 @@ object ConfParser {
   final class Env(real: String => Option[String] = k => sys.env.get(k)) {
     private val ht = scala.collection.mutable.Map.empty[String, String]
     // flb_env.c:63-88 — ${HOSTNAME} is preset from gethostname() when the
-    // shell didn't export it as a real variable
-    if (real("HOSTNAME").isEmpty) {
-      try ht("HOSTNAME") = java.net.InetAddress.getLocalHost.getHostName
-      catch { case _: java.net.UnknownHostException => }
-    }
+    // shell didn't export it as a real variable. Resolved LAZILY on the
+    // first HOSTNAME miss: getLocalHost is a DNS lookup that can block for
+    // seconds on hosts whose own name doesn't resolve, and ConfPipeline
+    // constructs an Env per load whether or not ${HOSTNAME} is referenced.
+    private lazy val localHostname: Option[String] =
+      try Some(java.net.InetAddress.getLocalHost.getHostName)
+      catch { case _: java.net.UnknownHostException => None }
     def set(key: String, value: String): Unit = ht(key) = value
-    def get(key: String): Option[String] = ht.get(key).orElse(real(key))
+    def get(key: String): Option[String] =
+      ht.get(key).orElse(real(key)).orElse(
+        if (key == "HOSTNAME") localHostname else None)
 
     /** flb_env_var_translate (`flb_env.c:177-264`): replace each
       * `${NAME}`; unset → warn + empty; unterminated `${` is left as-is.

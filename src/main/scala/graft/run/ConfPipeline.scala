@@ -8,7 +8,7 @@ import graft.core.Glob
 import graft.operators.{Grep, Nest, ParserFilter, RecordModifier, Scripted, Throttle}
 import graft.parsers.{ParserConfLoader, ParserDef}
 import graft.route.{Router, SinkSpec}
-import graft.sources.TailSource
+import graft.sources.{Samplers, TailSource}
 
 /** Classic-mode pipeline config → runnable job: a fluent-bit user brings
   * their `fluent-bit.conf` + `parsers.conf` and runs the same pipeline on
@@ -104,6 +104,21 @@ object ConfPipeline {
     val sections = ConfParser.parse(confText, env)
     val parsers = ParserConfLoader.load(parsersText)
 
+    // An input's NAMED `Parser` that the parsers file does not define is
+    // a config error (the reference fails plugin init when flb_parser_get
+    // returns NULL — in_tail.c / syslog_conf.c); silently falling back
+    // would run the wrong parser over the stream and hide the typo. Only
+    // an ABSENT key takes `default` (None for raw-line inputs; stdin
+    // passes the shipped json parser, its reference default mode).
+    def inputParser(s: ConfParser.Section,
+                    default: Option[graft.parsers.ParserDef] = None) =
+      s.get("Parser") match {
+        case Some(name) => Some(parsers.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"${s.get("Name").getOrElse("input")} input: unknown Parser '$name'")))
+        case None => default
+      }
+
     // ---- INPUT (first supported section wins; multiple inputs → union)
     val inputs = sections.filter(_.name == "INPUT").map { s =>
       s.get("Name").map(_.toLowerCase) match {
@@ -112,7 +127,7 @@ object ConfPipeline {
             throw new IllegalArgumentException("tail input needs Path"))
           val tag = s.get("Tag").getOrElse("*")
           val df = TailSource.lines(spark, path, tag)
-          s.get("Parser").flatMap(parsers.get) match {
+          inputParser(s) match {
             case Some(p) =>
               val parsed = ParserFilter.flatten("line", p)(df)
               // tail+parser stamps the record time from Time_Key (the
@@ -148,7 +163,7 @@ object ConfPipeline {
             throw new IllegalArgumentException("exec input needs Command"))
           val tag = s.get("Tag").getOrElse("exec.0")
           val df = graft.sources.ExecSource(spark, cmd, tag)
-          s.get("Parser").flatMap(parsers.get) match {
+          inputParser(s) match {
             case Some(p) =>
               val parsed = ParserFilter.flatten("line", p)(df)
               // same ts stamping as tail+Parser — throttle/flowcounter
@@ -167,7 +182,7 @@ object ConfPipeline {
           val tag = s.get("Tag").getOrElse("stdin.0")
           val df = graft.sources.StdinSource(
             spark, graft.sources.StdinSource.stream(), tag)
-          s.get("Parser").flatMap(parsers.get).orElse(parsers.get("json")) match {
+          inputParser(s, default = parsers.get("json")) match {
             case Some(p) =>
               val parsed = ParserFilter.flatten("line", p)(df)
               if (p.timeKey.isDefined && p.timeFormat.isDefined)
@@ -219,7 +234,7 @@ object ConfPipeline {
                   s"[conf-${s.get("Name").get.toLowerCase}] deferred $deferred unterminated tail bytes (open connection mid-line)")
               graft.sources.NetworkSources.lineRows(spark, payloads, tag)
             }
-          s.get("Parser").flatMap(parsers.get) match {
+          inputParser(s) match {
             case Some(p) =>
               val parsed = ParserFilter.flatten("line", p)(df)
               if (p.timeKey.isDefined && p.timeFormat.isDefined)
@@ -268,6 +283,89 @@ object ConfPipeline {
               keys.map { k =>
                 val out =
                   if (k == "tag" || k == "ts") {
+                    var cand = "_" + k
+                    while (keys.contains(cand)) cand = "_" + cand
+                    cand
+                  } else k
+                col("_rec").getItem(k).as(out)
+              }: _*)
+        case Some(n @ ("mem" | "cpu" | "disk" | "netif" | "proc" | "health")) =>
+          // metric sampler faces (driver-side /proc readers / TCP probe,
+          // graft.sources.Samplers): interval semantics follow the
+          // reference — Interval_Sec + Interval_NSec, both ≤ 0 overridden
+          // to the 1 s default (in_cpu.c:182-189 etc.)
+          val tag = s.get("Tag").getOrElse(s"$n.0")
+          val sec = s.get("Interval_Sec").map(_.toLong).getOrElse(0L)
+          val nsec = s.get("Interval_NSec").map(_.toLong).getOrElse(0L)
+          val interval = if (sec <= 0 && nsec <= 0) 1.0 else sec + nsec / 1e9
+          n match {
+            case "mem" =>
+              Samplers.mem(spark, tag, pid = s.get("Pid").map(_.toLong))
+            case "cpu" => Samplers.cpu(spark, tag, interval)
+            case "disk" =>
+              Samplers.disk(spark, tag, devName = s.get("Dev_Name"), interval)
+            case "netif" =>
+              val iface = s.get("Interface").getOrElse(
+                throw new IllegalArgumentException("netif input needs Interface"))
+              Samplers.netif(spark, iface, tag, interval,
+                verbose = s.get("Verbose").exists(v =>
+                  v.equalsIgnoreCase("true") || v.equalsIgnoreCase("on")))
+            case "proc" =>
+              val name = s.get("Proc_Name").getOrElse(
+                throw new IllegalArgumentException("proc input needs Proc_Name"))
+              Samplers.proc(spark, name, tag,
+                mem = !s.get("Mem").exists(_.equalsIgnoreCase("false")),
+                fds = !s.get("Fd").exists(_.equalsIgnoreCase("false")),
+                alert = s.get("Alert").exists(v =>
+                  v.equalsIgnoreCase("true") || v.equalsIgnoreCase("on")))
+            case "health" =>
+              val host = s.get("Host").getOrElse(
+                throw new IllegalArgumentException("health input needs Host"))
+              val port = s.get("Port").map(_.toInt).getOrElse(
+                throw new IllegalArgumentException("health input needs Port"))
+              Samplers.health(spark, host, port, tag,
+                addHost = s.get("Add_Host").exists(v =>
+                  v.equalsIgnoreCase("true") || v.equalsIgnoreCase("on")),
+                addPort = s.get("Add_Port").exists(v =>
+                  v.equalsIgnoreCase("true") || v.equalsIgnoreCase("on")),
+                alert = s.get("Alert").exists(v =>
+                  v.equalsIgnoreCase("true") || v.equalsIgnoreCase("on")))
+          }
+        case Some("mqtt") =>
+          // in_mqtt (mqtt_prot.c): an embedded MQTT 3.1.1 broker listens on
+          // Port (reference default 1883, mqtt_config.c:52-58), CONNACKs,
+          // ACKs QoS>0 publishes, and turns each PUBLISH payload that
+          // parses as a JSON map into one record with the topic prepended
+          // under 'topic' (mqtt_data_append, mqtt_prot.c:112-174); a
+          // non-JSON payload is dropped with a warning (the flb_pack_json
+          // failure path). Record keys are unioned driver-side like the
+          // forward face — the batch already passed the accept loop.
+          val port = s.get("Port").map(_.toInt).getOrElse(1883)
+          val tag = s.get("Tag").getOrElse("mqtt.0")
+          val b = graft.sources.Mqtt.broker(port)
+          val msgs =
+            try b.drainUntilQuiet(
+              s.get("Quiet_Ms").map(_.toLong).getOrElse(300L),
+              s.get("Timeout_Ms").map(_.toLong).getOrElse(30000L))
+            finally b.close()
+          val parsed = msgs.flatMap { case (topic, payload) =>
+            graft.sources.Mqtt.jsonFlat(new String(payload, "UTF-8")) match {
+              case Some(kvs) => Some((topic, kvs.toMap))
+              case None =>
+                System.err.println(s"[conf-mqtt] dropped non-JSON publish on '$topic'")
+                None
+            }
+          }
+          val keys = parsed.flatMap(_._2.keys).distinct.sorted
+          import spark.implicits._
+          val raw = parsed.toDF("topic", "_rec").withColumn("tag", lit(tag))
+          raw.select(
+            col("topic") +: col("tag") +:
+              // record keys named 'topic'/'tag' would collide with the
+              // frame columns — prefix-uniquify like the forward face
+              keys.map { k =>
+                val out =
+                  if (k == "topic" || k == "tag") {
                     var cand = "_" + k
                     while (keys.contains(cand)) cand = "_" + cand
                     cand

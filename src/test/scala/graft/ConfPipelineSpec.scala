@@ -490,8 +490,13 @@ class ConfPipelineSpec extends AnyFunSuite {
     val msgs = Seq(
       "<13>Jul 17 20:17:03 host-3 app7[42]: message 3",
       "<5>Jul 17 20:17:04 host-4 app8[43]: message 4")
+    // 30 × 100 ms: every resend inside the covered window resets the
+    // drain's 300 ms quiet clock, so load() cannot return before the
+    // sender stops — the window must be long enough to cover the bind
+    // race but no longer, because its full length is pure test wait
+    // (the original 100-iteration loop cost ~10 s of it every run)
     val sender = new Thread(() => {
-      (0 until 100).foreach { _ =>
+      (0 until 30).foreach { _ =>
         try msgs.foreach(m =>
           sock.send(new java.net.DatagramPacket(m.getBytes("UTF-8"), m.length, addr)))
         catch { case _: java.io.IOException => () }
@@ -515,6 +520,20 @@ class ConfPipelineSpec extends AnyFunSuite {
     val bad2 = intercept[IllegalArgumentException](ConfPipeline.load(spark,
       s"[INPUT]\n    Name tcp\n    Mode udp\n    Port 1\n", parsersConf))
     assert(bad2.getMessage.contains("no Mode"))
+  }
+
+  test("input with an unknown NAMED Parser is a config error, not a silent fallback") {
+    // the reference fails plugin init when flb_parser_get returns NULL;
+    // falling back (stdin used to fall back to json) runs the WRONG
+    // parser over the stream and hides the typo
+    val tmp = java.nio.file.Files.createTempFile("graft-conf-badparser", ".log")
+    java.nio.file.Files.writeString(tmp, "x\n")
+    // tail exercises the shared inputParser helper used by every arm
+    // (exec/stdin/tcp/syslog resolve through the same path)
+    val e = intercept[IllegalArgumentException](ConfPipeline.load(spark,
+      s"[INPUT]\n    Name tail\n    Path $tmp\n    Parser no_such\n", parsersConf))
+    assert(e.getMessage.contains("unknown Parser 'no_such'"))
+    java.nio.file.Files.deleteIfExists(tmp)
   }
 
   test("conf forward input: record keys 'tag' + literal '_tag' flatten without duplicate columns") {
