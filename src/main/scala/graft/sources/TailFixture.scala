@@ -43,7 +43,11 @@ object TailFixture {
 
   private def isCurrent(root: String, want: String): Boolean = {
     val m = Paths.get(root, markerName)
-    Files.exists(m) && Files.readString(m) == want
+    // the data files are checked too, not just the marker: a /tmp cleaner
+    // (systemd-tmpfiles) can reap the .log files but keep a newer marker,
+    // and a marker-only check would then read an empty fixture silently
+    Files.exists(m) && Files.readString(m) == want &&
+      (0 to 1).forall(k => Files.exists(Paths.get(root, s"app$k.log")))
   }
 
   /** The fixture root for `dir`, generating at the plain root only when

@@ -81,12 +81,22 @@ class NetworkSourcesSpec extends AnyFunSuite {
       val out = s.getOutputStream
       (0 until rowsTarget / 1000).foreach(_ => out.write(block))
       s.close()
-      val quietMs = 100L
-      val (payloads, _) = l.drainUntilQuietLines(quietMillis = quietMs)
-      // net of the mandatory quiet window — the drain returns quietMs
-      // after the last byte, which is wait, not work
-      val secs = (System.nanoTime() - t0) / 1e9 - quietMs / 1e3
-      val rows = payloads.map(_.count(_ == '\n'.toByte)).sum
+      // accumulate across drains until every row arrived (or a hard
+      // deadline): a handler thread descheduled past the quiet window
+      // mid-transfer (GC pause, loaded box) returns a partial first
+      // drain, which is scheduler noise, not a product bug
+      val quietMs = 300L
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      var rows = 0
+      var drains = 0
+      while (rows < rowsTarget && System.nanoTime() < deadline) {
+        val (payloads, _) = l.drainUntilQuietLines(quietMillis = quietMs)
+        rows += payloads.map(_.count(_ == '\n'.toByte)).sum
+        drains += 1
+      }
+      // net of the mandatory quiet windows — each drain returns quietMs
+      // after its last byte, which is wait, not work
+      val secs = (System.nanoTime() - t0) / 1e9 - drains * quietMs / 1e3
       assert(rows == rowsTarget)
       val rate = rows / math.max(secs, 1e-3)
       info(f"driver-socket drain: $rate%,.0f rows/s over $rowsTarget rows — single-node ingest ceiling; the distributed path (BENCH.md headline) parses+routes ~7M rows/s")

@@ -9,7 +9,9 @@ OUT=${2:-/tmp/bench_campaign}
 mkdir -p "$OUT"
 cd /root/repo
 for i in $(seq 1 "$N"); do
-  ts=$(date +%H%M%S)
+  # date-qualified so multi-day campaigns reusing one outdir never
+  # overwrite earlier evidence
+  ts=$(date +%Y%m%d_%H%M%S)
   log="$OUT/run_${ts}.log"
   echo "[campaign] run $i/$N -> $log"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
