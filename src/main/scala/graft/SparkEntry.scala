@@ -441,6 +441,33 @@ object SparkEntry {
       }.toDF()
     }),
 
+    // -- in_kmsg record semantics (in_kmsg.c:108-210): priority masking
+    //    (raw & 7), monotonic usec split, boot-relative event time, msg
+    //    after ';' — the oracle re-derives every field arithmetically
+    //    from the same doc_id the fixture line was built from
+    "fb_kmsg" -> ((s, dir) => {
+      val lines = Fixtures.seqs(s, dir).select(col("seq"),
+        concat(((col("seq") * 13) % 192).cast("string"), lit(","),
+          col("seq").cast("string"), lit(","),
+          ((col("seq") * 1009) % 100000000).cast("string"),
+          lit(";kmsg message "), col("seq").cast("string")).as("line"))
+      graft.sources.Kmsg.parse(lines, "line", bootSec = TokenTable.BaseEpoch)
+        .select(col("seq"), unix_micros(col("ts")).as("ts_us"), col("priority"),
+          col("sequence"), col("sec"), col("usec"), col("msg"))
+    }),
+
+    // -- in_serial separator record formation (in_serial.c:162-190):
+    //    leading-CR strip, empty segment skipped, unterminated tail
+    //    dropped; runs distributed via the Column-level segments()
+    "fb_serial_split" -> ((s, dir) => {
+      val f = Fixtures.seqs(s, dir).select(col("seq"),
+        concat(lit("\r"), lit("m"), col("seq").cast("string"), lit("||"),
+          lit("n"), col("seq").cast("string"), lit("|"),
+          lit("tail-stays-buffered")).as("stream"))
+      f.select(col("seq"),
+        explode(graft.sources.Serial.segments(col("stream"), "|")).as("msg"))
+    }),
+
     // -- in_dummy source face (in_dummy.c:36-61): n copies of a fixed
     //    record with sequenced timestamps — the driver-checkable face of
     //    the seeded dev source (in_random stays spec-only: Spark's rand()
@@ -1529,6 +1556,30 @@ object SparkEntry {
                 '{"k":' || CAST(doc_id AS VARCHAR) || '}' AS payload,
                 TRUE AS clean
          FROM documents""",
+
+    "fb_kmsg" ->
+      """-- kmsg fields re-derived arithmetically: priority = raw % 8
+         -- (FLB_KLOG_PRI mask), monotonic usec split with //, event time
+         -- boot + sec (boot usec ignored like in_kmsg.c:160)
+         WITH r AS (SELECT doc_id AS seq,
+             (doc_id * 13) % 192 AS praw,
+             (doc_id * 1009) % 100000000 AS us
+           FROM documents)
+         SELECT seq,
+           (1500322623 + us // 1000000) * 1000000 + us % 1000000 AS ts_us,
+           praw % 8 AS priority,
+           seq AS sequence,
+           us // 1000000 AS sec,
+           us % 1000000 AS usec,
+           'kmsg message ' || CAST(seq AS VARCHAR) AS msg
+         FROM r""",
+
+    "fb_serial_split" ->
+      """-- the two separator-terminated segments survive; the leading CR,
+         -- the empty segment, and the unterminated tail do not
+         SELECT doc_id AS seq, 'm' || CAST(doc_id AS VARCHAR) AS msg FROM documents
+         UNION ALL
+         SELECT doc_id AS seq, 'n' || CAST(doc_id AS VARCHAR) AS msg FROM documents""",
 
     "fb_dummy" ->
       """-- in_dummy: fixed record, 1/s sequenced timestamps from BaseEpoch

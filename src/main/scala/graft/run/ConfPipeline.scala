@@ -44,6 +44,21 @@ import graft.sources.{Samplers, TailSource}
   */
 object ConfPipeline {
 
+  /** A flattened record key colliding with a frame column name is
+    * prefix-uniquified (re-prefixing until unused): a record carrying
+    * BOTH the reserved name and its prefixed form must not produce
+    * duplicate output columns — the reference keeps record keys in
+    * their own msgpack namespace; flattening to columns conflates the
+    * two. Shared by every face that flattens records (forward, mqtt).
+    */
+  private def uniquifyKey(k: String, keys: Seq[String], reserved: Set[String]): String =
+    if (!reserved(k)) k
+    else {
+      var cand = "_" + k
+      while (keys.contains(cand)) cand = "_" + cand
+      cand
+    }
+
   /** Size values with optional binary-ish suffix, exactly
     * `flb_utils_size_to_bytes` (`src/flb_utils.c:312-376`): suffix is the
     * 1–2 trailing non-digits, case-insensitive K/M/G (×1000 each — the
@@ -273,22 +288,8 @@ object ConfPipeline {
           raw.select(
             col("tag") +:
               timestamp_micros(col("_fus")).as("ts") +:
-              // record keys named 'tag'/'ts' would duplicate the frame
-              // columns and make every downstream reference ambiguous —
-              // prefix them, re-prefixing until the name is unused (a
-              // record carrying BOTH 'tag' and a literal '_tag' must not
-              // produce duplicate output columns; the reference keeps
-              // record keys in their own namespace, flattening to columns
-              // conflates the two)
-              keys.map { k =>
-                val out =
-                  if (k == "tag" || k == "ts") {
-                    var cand = "_" + k
-                    while (keys.contains(cand)) cand = "_" + cand
-                    cand
-                  } else k
-                col("_rec").getItem(k).as(out)
-              }: _*)
+              keys.map(k =>
+                col("_rec").getItem(k).as(uniquifyKey(k, keys, Set("tag", "ts")))): _*)
         case Some(n @ ("mem" | "cpu" | "disk" | "netif" | "proc" | "health")) =>
           // metric sampler faces (driver-side /proc readers / TCP probe,
           // graft.sources.Samplers): interval semantics follow the
@@ -313,9 +314,13 @@ object ConfPipeline {
             case "proc" =>
               val name = s.get("Proc_Name").getOrElse(
                 throw new IllegalArgumentException("proc input needs Proc_Name"))
+              // in_proc.c:192-210: false OR off disables (true/on enables,
+              // anything else keeps the default-on)
+              def offish(k: String) = s.get(k).exists(v =>
+                v.equalsIgnoreCase("false") || v.equalsIgnoreCase("off"))
               Samplers.proc(spark, name, tag,
-                mem = !s.get("Mem").exists(_.equalsIgnoreCase("false")),
-                fds = !s.get("Fd").exists(_.equalsIgnoreCase("false")),
+                mem = !offish("Mem"),
+                fds = !offish("Fd"),
                 alert = s.get("Alert").exists(v =>
                   v.equalsIgnoreCase("true") || v.equalsIgnoreCase("on")))
             case "health" =>
@@ -361,17 +366,40 @@ object ConfPipeline {
           val raw = parsed.toDF("topic", "_rec").withColumn("tag", lit(tag))
           raw.select(
             col("topic") +: col("tag") +:
-              // record keys named 'topic'/'tag' would collide with the
-              // frame columns — prefix-uniquify like the forward face
-              keys.map { k =>
-                val out =
-                  if (k == "topic" || k == "tag") {
-                    var cand = "_" + k
-                    while (keys.contains(cand)) cand = "_" + cand
-                    cand
-                  } else k
-                col("_rec").getItem(k).as(out)
-              }: _*)
+              keys.map(k =>
+                col("_rec").getItem(k).as(uniquifyKey(k, keys, Set("topic", "tag")))): _*)
+        case Some("kmsg") =>
+          // in_kmsg (in_kmsg.c:108-210): kernel-log lines → {priority,
+          // sequence, sec, usec, msg} with boot-relative event time (boot
+          // seconds from /proc/uptime like time_lookup, in_kmsg.c:50-103).
+          // DOCUMENTED DEVIATION: the live /dev/kmsg device read blocks
+          // when drained and stays an offline non-goal — this face needs
+          // Path pointing at a kmsg capture in the same line format.
+          val path = s.get("Path").getOrElse(throw new IllegalArgumentException(
+            "kmsg input needs Path (offline face: point it at a /dev/kmsg capture)"))
+          val tag = s.get("Tag").getOrElse("kmsg.0")
+          val boot = s.get("Boot_Sec").map(_.toLong)
+            .getOrElse(graft.sources.Kmsg.bootTimeSec())
+          graft.sources.Kmsg.parse(TailSource.lines(spark, path, tag), "line", boot)
+        case Some("serial") =>
+          // in_serial (in_serial_config.c:38-41): read the configured File
+          // (the reference's device-path property) and form records per
+          // in_serial.c — Separator split / Format json stream / whole
+          // chunk as one msg. Bitrate/Min_Bytes are tty ioctls: accepted
+          // and ignored offline.
+          val file = s.get("File").getOrElse(
+            throw new IllegalArgumentException("serial input needs File"))
+          val tag = s.get("Tag").getOrElse("serial.0")
+          val text = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+          val msgs = s.get("Separator") match {
+            case Some(sep) => graft.sources.Serial.segmentsLocal(text, sep)
+            case None if s.get("Format").exists(_.equalsIgnoreCase("json")) =>
+              graft.sources.Serial.jsonStream(text)
+            case None => Seq(text)
+          }
+          import spark.implicits._
+          msgs.toDF("msg").withColumn("tag", lit(tag))
         case other =>
           throw new IllegalArgumentException(s"unsupported input $other")
       }

@@ -155,6 +155,23 @@ class SamplersSpec extends AnyFunSuite {
     assert(Samplers.pidOf("no-such-process-name").isEmpty)
   }
 
+  test("conf proc input: Mem off / Fd off disable like the reference (false OR off, in_proc.c:192-210)") {
+    val self = java.nio.file.Paths.get("/proc/self/cmdline")
+    val base = new String(java.nio.file.Files.readAllBytes(self), "UTF-8")
+      .takeWhile(_ != 0).split("/").last
+    val conf =
+      s"""[INPUT]
+         |    Name      proc
+         |    Proc_Name $base
+         |    Mem       off
+         |    Fd        off
+         |""".stripMargin
+    val out = graft.run.ConfPipeline.load(spark, conf, "").filtered
+    assert(!out.columns.exists(_.startsWith("mem.Vm")))
+    assert(!out.columns.contains("fd"))
+    assert(out.collect()(0).getAs[Boolean]("alive"))
+  }
+
   test("conf surface: [INPUT] mem/health wire through ConfPipeline with routing tags") {
     val srv = new java.net.ServerSocket(0)
     try {
