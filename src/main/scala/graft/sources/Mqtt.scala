@@ -128,10 +128,19 @@ object Mqtt {
   /** Decode complete control packets from the front of `bytes`
     * (mqtt_prot_parser, mqtt_prot.c:276-388). Lenient like the C loop:
     * a truncated tail is left unconsumed (`MQTT_MORE` — the caller keeps
-    * it buffered for the next read); a malformed varint (> 4 bytes,
-    * mqtt_prot.c:318) or a PUBLISH whose topic/id fields overrun the
-    * packet poisons the connection (`MQTT_ERROR` → error=true, decoding
-    * stops). Returns (packets, bytesConsumed, error).
+    * it buffered for the next read); a PUBLISH whose topic/id fields
+    * overrun the packet poisons the connection (`MQTT_ERROR` →
+    * error=true, decoding stops). Returns (packets, bytesConsumed,
+    * error).
+    *
+    * DOCUMENTED REFERENCE QUIRK, mirrored verbatim (mqtt_prot.c:318-321
+    * checks `mult > 128*128*128` AFTER multiplying, BEFORE looking at
+    * the continuation bit): the 4th remaining-length byte always errors,
+    * so the largest decodable packet body is 2 MiB − 1 (3 varint bytes)
+    * even though the MQTT spec allows 4. [[packetHeader]] can EMIT the
+    * spec-valid 4-byte form — a client using it against this broker (or
+    * the reference) gets its connection poisoned at 2 MiB, exactly as a
+    * reference client would.
     */
   def decode(bytes: Array[Byte]): (Seq[Packet], Int, Boolean) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Packet]
@@ -179,6 +188,31 @@ object Mqtt {
     (out.toSeq, pos, false)
   }
 
+  /** Bytes the FIRST packet in `buf[0..len)` needs before it can decode,
+    * or None while its header/varint is still incomplete. A varint the
+    * decoder will reject returns a small Some so decode runs immediately
+    * and poisons the connection. Lets [[Broker]] skip decode attempts
+    * until a whole packet arrived — without the peek, a multi-MB publish
+    * arriving in 8 KB reads would re-copy the accumulation per read.
+    */
+  private[sources] def neededLength(buf: Array[Byte], len: Int): Option[Int] = {
+    if (len < 2) return None
+    var pos = 1
+    var mult = 1
+    var length = 0
+    var continue = true
+    while (continue) {
+      if (pos >= len) return None
+      val b = buf(pos) & 0xff
+      length += (b & 127) * mult
+      mult *= 128
+      if (mult > 128 * 128 * 128) return Some(pos + 1) // decode() errors here
+      pos += 1
+      continue = (b & 128) != 0
+    }
+    Some(pos + length)
+  }
+
   // ---- live broker
 
   /** Bind the broker (port 0 → ephemeral; reference default 1883,
@@ -213,40 +247,56 @@ object Mqtt {
       try {
         val in = s.getInputStream
         val outS = s.getOutputStream
-        var buf = Array.empty[Byte]
+        // growable buffer with front-compaction: immutable `buf ++ chunk`
+        // plus `drop(consumed)` would re-copy the whole accumulation on
+        // every 8 KB read — O(n²) on a multi-MB publish
+        var buf = new Array[Byte](8192)
+        var len = 0
         // MQTT_NEW: the first packet MUST be CONNECT (mqtt_prot.c:301-306)
         var expectConnect = true
         val chunk = new Array[Byte](8192)
         var n = in.read(chunk)
         while (n >= 0) {
-          if (buf.length + n > maxConnBytes) {
+          if (len + n > maxConnBytes) {
             System.err.println(s"[graft-mqtt] dropping connection > $maxConnBytes bytes")
             return
           }
-          buf = buf ++ chunk.take(n)
-          lastActivity = System.nanoTime()
-          val (packets, consumed, error) = Mqtt.decode(buf)
-          // reply writes are best-effort: a client that sent its packets
-          // and closed without reading acks (reply channel dead, EPIPE)
-          // must not lose the publishes still in this buffer — the
-          // reference appends data BEFORE writing the response
-          // (mqtt_handle_publish, mqtt_prot.c:199-256)
-          def safeWrite(b: Array[Byte]): Unit =
-            try outS.write(b) catch { case _: java.io.IOException => () }
-          for (p <- packets) p match {
-            case Control(CONNECT) =>
-              if (expectConnect) { safeWrite(connackBytes); expectConnect = false }
-            case _ if expectConnect => return // MQTT_ERROR: CONNECT first
-            case Publish(topic, qos, pid, payload) =>
-              msgs.add((topic, payload))
-              lastActivity = System.nanoTime()
-              if (qos > 0) safeWrite(pubResponseBytes(qos, pid))
-            case Control(PINGREQ) => safeWrite(pingRespBytes)
-            case Control(DISCONNECT) => return // MQTT_HANGUP
-            case Control(_) => () // reference ignores other types
+          if (len + n > buf.length) {
+            var c = buf.length
+            while (c < len + n) c <<= 1
+            buf = java.util.Arrays.copyOf(buf, c)
           }
-          if (error) return // MQTT_ERROR: poison the connection
-          buf = buf.drop(consumed)
+          System.arraycopy(chunk, 0, buf, len, n)
+          len += n
+          lastActivity = System.nanoTime()
+          // decode only once the first packet's bytes are all here (peek
+          // the header + varint for the needed length)
+          if (Mqtt.neededLength(buf, len).exists(_ <= len)) {
+            val (packets, consumed, error) =
+              Mqtt.decode(java.util.Arrays.copyOfRange(buf, 0, len))
+            // reply writes are best-effort: a client that sent its packets
+            // and closed without reading acks (reply channel dead, EPIPE)
+            // must not lose the publishes still in this buffer — the
+            // reference appends data BEFORE writing the response
+            // (mqtt_handle_publish, mqtt_prot.c:199-256)
+            def safeWrite(b: Array[Byte]): Unit =
+              try outS.write(b) catch { case _: java.io.IOException => () }
+            for (p <- packets) p match {
+              case Control(CONNECT) =>
+                if (expectConnect) { safeWrite(connackBytes); expectConnect = false }
+              case _ if expectConnect => return // MQTT_ERROR: CONNECT first
+              case Publish(topic, qos, pid, payload) =>
+                msgs.add((topic, payload))
+                lastActivity = System.nanoTime()
+                if (qos > 0) safeWrite(pubResponseBytes(qos, pid))
+              case Control(PINGREQ) => safeWrite(pingRespBytes)
+              case Control(DISCONNECT) => return // MQTT_HANGUP
+              case Control(_) => () // reference ignores other types
+            }
+            if (error) return // MQTT_ERROR: poison the connection
+            System.arraycopy(buf, consumed, buf, 0, len - consumed)
+            len -= consumed
+          }
           n = in.read(chunk)
         }
       } catch {
@@ -288,9 +338,13 @@ object Mqtt {
     * when flb_pack_json fails (mqtt_prot.c:150-156 logs and skips the
     * append).
     */
+  // shared: ObjectMapper construction is expensive and the instance is
+  // thread-safe for readTree/writeValueAsString
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def jsonFlat(payload: String): Option[Seq[(String, String)]] =
     try {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val m = mapper
       val node = m.readTree(payload)
       if (node == null || !node.isObject) None
       else {

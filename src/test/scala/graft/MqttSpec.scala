@@ -63,6 +63,40 @@ class MqttSpec extends AnyFunSuite {
     assert(Mqtt.decode(overrun)._3)
   }
 
+  test("2 MiB remaining-length boundary: 3-varint-byte max decodes, the spec-valid 4-byte form poisons (mqtt_prot.c:318-321 quirk)") {
+    // largest decodable body: 128^3 − 1 = 2,097,151
+    val max = Mqtt.packetHeader(Mqtt.PUBLISH, 128 * 128 * 128 - 1)
+    assert(max.length == 4)
+    val (p0, c0, e0) = Mqtt.decode(max) // body absent → MQTT_MORE, no error
+    assert(p0.isEmpty && c0 == 0 && !e0)
+    // one past: packetHeader emits the spec-valid 4-byte varint, the
+    // decoder rejects it exactly like the reference's mult check
+    val four = Mqtt.packetHeader(Mqtt.PUBLISH, 128 * 128 * 128)
+    assert(four.length == 5)
+    assert(Mqtt.decode(four)._3)
+  }
+
+  test("live broker: a multi-read 300 KB publish accumulates and decodes intact") {
+    val b = Mqtt.broker()
+    try {
+      val s = new java.net.Socket("127.0.0.1", b.port)
+      val out = s.getOutputStream
+      out.write(Mqtt.connectBytes())
+      // drain the CONNACK before closing: unread input at close() turns
+      // the close into an RST that can discard the in-flight publish
+      // from the server's receive buffer mid-stream
+      val ack = new Array[Byte](4)
+      assert(s.getInputStream.readNBytes(ack, 0, 4) == 4)
+      val payload = Array.tabulate[Byte](300 * 1024)(i => ('a' + (i % 26)).toByte)
+      out.write(Mqtt.publishBytes("big/1", payload, 0))
+      out.flush()
+      s.close()
+      val msgs = b.drainUntilQuiet()
+      assert(msgs.map(_._1) == Seq("big/1"))
+      assert(java.util.Arrays.equals(msgs.head._2, payload))
+    } finally b.close()
+  }
+
   test("jsonFlat: object → ordered string pairs, scalars verbatim, nested as JSON text, non-object None") {
     assert(Mqtt.jsonFlat("""{"b":1,"a":"x","n":{"k":2},"f":1.5,"t":true}""") ==
       Some(Seq("b" -> "1", "a" -> "x", "n" -> """{"k":2}""", "f" -> "1.5", "t" -> "true")))
@@ -136,6 +170,11 @@ class MqttSpec extends AnyFunSuite {
     out.write(Mqtt.publishBytes("room/2", """{"temp":22}""".getBytes, 1, packetId = 7))
     out.write(Mqtt.publishBytes("room/3", "not json".getBytes, 0)) // dropped
     out.write(Mqtt.disconnectBytes)
+    // FIN after our bytes, then drain replies (CONNACK + the qos-1
+    // PUBACK) until the broker's DISCONNECT-close EOF — closing with
+    // unread input would RST and could discard in-flight publishes
+    sock.shutdownOutput()
+    while (sock.getInputStream.read() != -1) {}
     sock.close()
     val df = Await.result(fut, 30.seconds)
     val rows = df.orderBy("topic").collect()

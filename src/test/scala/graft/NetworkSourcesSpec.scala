@@ -81,17 +81,20 @@ class NetworkSourcesSpec extends AnyFunSuite {
       val out = s.getOutputStream
       (0 until rowsTarget / 1000).foreach(_ => out.write(block))
       s.close()
-      // accumulate across drains until every row arrived (or a hard
-      // deadline): a handler thread descheduled past the quiet window
-      // mid-transfer (GC pause, loaded box) returns a partial first
-      // drain, which is scheduler noise, not a product bug
+      // re-drain until every row arrived (or a hard deadline): a handler
+      // thread descheduled past the quiet window mid-transfer (GC pause,
+      // loaded box) yields a partial first drain, which is scheduler
+      // noise, not a product bug. Connection snapshots are CUMULATIVE
+      // (ConnBuf.snapshot returns the full buffer each call), so each
+      // drain's count REPLACES the previous one — summing across drains
+      // would double-count the already-seen bytes
       val quietMs = 300L
       val deadline = System.nanoTime() + 15L * 1000000000L
       var rows = 0
       var drains = 0
       while (rows < rowsTarget && System.nanoTime() < deadline) {
         val (payloads, _) = l.drainUntilQuietLines(quietMillis = quietMs)
-        rows += payloads.map(_.count(_ == '\n'.toByte)).sum
+        rows = payloads.map(_.count(_ == '\n'.toByte)).sum
         drains += 1
       }
       // net of the mandatory quiet windows — each drain returns quietMs
