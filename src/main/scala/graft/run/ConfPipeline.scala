@@ -396,7 +396,12 @@ object ConfPipeline {
             case Some(sep) => graft.sources.Serial.segmentsLocal(text, sep)
             case None if s.get("Format").exists(_.equalsIgnoreCase("json")) =>
               graft.sources.Serial.jsonStream(text)
-            case None => Seq(text)
+            case None =>
+              // whole-chunk mode strips the lead like the other two (the
+              // checks precede the format dispatch); an empty stream emits
+              // nothing (read()==0 returns before process_line)
+              val t = graft.sources.Serial.stripLead(text)
+              if (t.isEmpty) Seq.empty else Seq(t)
           }
           import spark.implicits._
           msgs.toDF("msg").withColumn("tag", lit(tag))
@@ -450,9 +455,15 @@ object ConfPipeline {
         case Some("throttle") =>
           val rate = s.get("Rate").map(_.toDouble).getOrElse(1.0)
           val interval = s.get("Interval").map(_.stripSuffix("s").toInt).getOrElse(1)
-          if (df.columns.contains("ts"))
-            Throttle.apply("ts", "line", interval, rate)(df)
-          else df
+          if (df.columns.contains("ts")) {
+            // deterministic tie-break within a timestamp: 'line' where the
+            // frame has one, else any stable non-ts column (kmsg frames
+            // carry sequence/msg but no line)
+            val tieBreak = Seq("line", "sequence", "msg")
+              .find(df.columns.contains)
+              .getOrElse(df.columns.filter(_ != "ts").head)
+            Throttle.apply("ts", tieBreak, interval, rate)(df)
+          } else df
         case Some("nest") =>
           s.get("Operation").map(_.toLowerCase) match {
             case Some("nest") =>

@@ -283,7 +283,11 @@ object Mqtt {
               try outS.write(b) catch { case _: java.io.IOException => () }
             for (p <- packets) p match {
               case Control(CONNECT) =>
-                if (expectConnect) { safeWrite(connackBytes); expectConnect = false }
+                // EVERY connect gets a CONNACK — the reference reaches
+                // mqtt_handle_connect again for a duplicate CONNECT in
+                // MQTT_NEXT state (only MQTT_NEW gates the type check,
+                // mqtt_prot.c:296-301, 354-356)
+                safeWrite(connackBytes); expectConnect = false
               case _ if expectConnect => return // MQTT_ERROR: CONNECT first
               case Publish(topic, qos, pid, payload) =>
                 msgs.add((topic, payload))

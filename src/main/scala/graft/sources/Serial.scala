@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   *   - **Format json**: the stream is a concatenation of JSON values
   *     (flb_pack_json_state with multiple=TRUE); each top-level value
   *     becomes one record with the value under `msg`
-  *     (process_pack, in_serial.c:69-94). An incomplete trailing value
-  *     stays buffered (dropped batch-wise); an invalid stream is skipped
-  *     from the point of corruption (FLB_ERR_JSON_INVAL resets state).
+  *     (process_pack, in_serial.c:69-94). An INCOMPLETE trailing value
+  *     keeps the complete prefix (the PART-salvage loop,
+  *     flb_pack.c:274-306) — batch-wise the tail is dropped; an INVALID
+  *     byte anywhere fails the WHOLE buffer (strict jsmn tokenises all
+  *     of it first — FLB_ERR_JSON_INVAL emits nothing,
+  *     in_serial.c:190-196).
+  *
+  *   The leading NUL/CR strip runs before ALL THREE modes (the checks
+  *   sit ahead of the format dispatch in the collect loop).
   *   - **Neither**: the whole chunk is one `msg` record
   *     (in_serial.c:221-224).
   *
@@ -45,28 +51,50 @@ object Serial {
     filter(slice(parts, lit(1), size(parts) - 1), _ =!= "")
   }
 
+  /** The pre-dispatch strip (NUL then CR/LF, once at stream start) —
+    * shared by every mode and the conf face's whole-chunk branch.
+    */
+  def stripLead(payload: String): String =
+    payload.replaceFirst("^\\x00?[\\r\\n]?", "")
+
   /** Driver-side split for the conf face (same semantics, plain Scala). */
   def segmentsLocal(payload: String, separator: String): Seq[String] = {
-    val cleaned = payload.replaceFirst("^\\x00?[\\r\\n]?", "")
-    val parts = cleaned.split(Pattern.quote(separator), -1)
+    val parts = stripLead(payload).split(Pattern.quote(separator), -1)
     parts.dropRight(1).filter(_.nonEmpty).toSeq
   }
 
+  // shared: ObjectMapper construction is expensive and the instance is
+  // thread-safe for readTree/writeValueAsString
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Format json: successive top-level JSON values of the stream as
-    * compact text (string scalars kept verbatim like the mqtt face); an
-    * incomplete or invalid tail is dropped from the point of failure.
+    * compact text (string scalars kept verbatim like the mqtt face).
+    * Failure semantics mirror flb_pack_json_state: an EOF mid-value
+    * (PART) keeps the complete prefix; an invalid byte (INVAL) fails
+    * the whole buffer — nothing is emitted, including values before the
+    * corruption, because strict jsmn tokenises the full buffer first.
     */
   def jsonStream(text: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val m = mapper
       val it = m.readValues(
-        m.createParser(text), classOf[com.fasterxml.jackson.databind.JsonNode])
+        m.createParser(stripLead(text)), classOf[com.fasterxml.jackson.databind.JsonNode])
       while (it.hasNext) {
         val v = it.next()
         out += (if (v.isTextual) v.asText else m.writeValueAsString(v))
       }
-    } catch { case _: Exception => () } // FLB_ERR_JSON_PART / _INVAL tail
-    out.toSeq
+      out.toSeq
+    } catch {
+      case e: Exception =>
+        // MappingIterator wraps parse failures in RuntimeException —
+        // walk the cause chain to classify EOF (PART) vs invalid (INVAL)
+        var c: Throwable = e
+        while (c != null &&
+               !c.isInstanceOf[com.fasterxml.jackson.core.io.JsonEOFException])
+          c = c.getCause
+        if (c != null) out.toSeq // PART: EOF mid-value keeps the prefix
+        else Seq.empty           // INVAL: the whole buffer fails
+    }
   }
 }

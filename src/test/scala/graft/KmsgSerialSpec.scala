@@ -63,11 +63,19 @@ class KmsgSerialSpec extends AnyFunSuite {
     assert(Serial.segmentsLocal("aa<SEP>bb<SEP>cc", "<SEP>") == Seq("aa", "bb"))
   }
 
-  test("serial jsonStream: concatenated values, scalar strings verbatim, invalid/partial tail dropped") {
+  test("serial jsonStream: PART keeps the complete prefix, INVAL fails the whole buffer (flb_pack.c:274-310)") {
     assert(Serial.jsonStream("""{"a":1}{"b":2}""") == Seq("""{"a":1}""", """{"b":2}"""))
     assert(Serial.jsonStream(""""s1" 42 [1,2]""") == Seq("s1", "42", "[1,2]"))
-    assert(Serial.jsonStream("""{"a":1}{"b": partial""") == Seq("""{"a":1}"""))
+    // EOF mid-value = FLB_ERR_JSON_PART: the PART-salvage loop keeps the
+    // complete top-level values before the cut
+    assert(Serial.jsonStream("""{"a":1}{"b":""") == Seq("""{"a":1}"""))
+    // an INVALID token = FLB_ERR_JSON_INVAL: strict jsmn tokenises the
+    // full buffer first, so even the valid prefix emits NOTHING
+    assert(Serial.jsonStream("""{"a":1}garbage""") == Seq())
+    assert(Serial.jsonStream("""{"b": partial""") == Seq()) // 'p' is INVAL, not PART
     assert(Serial.jsonStream("garbage") == Seq())
+    // the pre-dispatch NUL strip applies to json mode too (FTDI handshake)
+    assert(Serial.jsonStream(0.toChar + """{"k":9}""") == Seq("""{"k":9}"""))
   }
 
   test("conf faces: [INPUT] kmsg Path capture and [INPUT] serial File with Separator / Format json") {

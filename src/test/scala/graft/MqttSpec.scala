@@ -80,6 +80,7 @@ class MqttSpec extends AnyFunSuite {
     val b = Mqtt.broker()
     try {
       val s = new java.net.Socket("127.0.0.1", b.port)
+      s.setSoTimeout(15000)
       val out = s.getOutputStream
       out.write(Mqtt.connectBytes())
       // drain the CONNACK before closing: unread input at close() turns
@@ -109,12 +110,19 @@ class MqttSpec extends AnyFunSuite {
     val b = Mqtt.broker()
     try {
       val s = new java.net.Socket("127.0.0.1", b.port)
+      s.setSoTimeout(15000) // a silent broker should fail the spec, not hang it
       val out = s.getOutputStream
       val in = s.getInputStream
       out.write(Mqtt.connectBytes("c1"))
       val connack = new Array[Byte](4)
       assert(in.readNBytes(connack, 0, 4) == 4)
       assert(hex(connack) == "20020100")
+      // a DUPLICATE connect is CONNACK'd again — mqtt_handle_connect runs
+      // for CONNECT in MQTT_NEXT state too (mqtt_prot.c:354-356)
+      out.write(Mqtt.connectBytes("c1-again"))
+      val connack2 = new Array[Byte](4)
+      assert(in.readNBytes(connack2, 0, 4) == 4)
+      assert(hex(connack2) == "20020100")
       out.write(Mqtt.publishBytes("sensors/a", """{"v":1}""".getBytes, 0))
       out.write(Mqtt.publishBytes("sensors/b", """{"v":2}""".getBytes, 1, packetId = 0x42))
       val puback = new Array[Byte](4)
@@ -172,9 +180,13 @@ class MqttSpec extends AnyFunSuite {
     out.write(Mqtt.disconnectBytes)
     // FIN after our bytes, then drain replies (CONNACK + the qos-1
     // PUBACK) until the broker's DISCONNECT-close EOF — closing with
-    // unread input would RST and could discard in-flight publishes
+    // unread input would RST and could discard in-flight publishes.
+    // soTimeout so a broker that stops closing fails the spec instead of
+    // hanging the suite
+    sock.setSoTimeout(15000)
     sock.shutdownOutput()
-    while (sock.getInputStream.read() != -1) {}
+    try { while (sock.getInputStream.read() != -1) {} }
+    catch { case _: java.net.SocketTimeoutException => fail("broker never closed after DISCONNECT") }
     sock.close()
     val df = Await.result(fut, 30.seconds)
     val rows = df.orderBy("topic").collect()
