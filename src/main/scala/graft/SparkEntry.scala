@@ -1014,10 +1014,16 @@ object SparkEntry {
           col("st.n_words").as("n_words"),
           TextAnalysis.languageIdFrom(col("st")).as("pred_lang"))
       val kept = scored.filter(col("n_words") >= 30 && col("pred_lang") === "en")
-      // keeper selection shuffles (hash, id) pairs, never document bodies
-      val keepers = kept.groupBy(xxhash64(col("text"))).agg(min(col("doc_id")).as("doc_id"))
-      kept.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("n_words"))
+      // keeper = the min-id row per content hash as ONE map-side-combinable
+      // aggregate over (hash, id, n_words) triples — row-identical to the
+      // former aggregate + left-semi-join (doc_ids are unique, so "id ∈
+      // {group minima}" ⇔ "id = min of its own group") but with ONE scan +
+      // TextStats pass instead of two and ONE exchange instead of two;
+      // document bodies still never shuffle (struct min compares doc_id
+      // first — unique per group — so the min row's n_words rides along)
+      kept.groupBy(xxhash64(col("text")).as("_h"))
+        .agg(min(struct(col("doc_id"), col("n_words"))).as("_k"))
+        .select(col("_k.doc_id").as("doc_id"), col("_k.n_words").as("n_words"))
     }),
 
     // -- decoder: escaped backend (Decode_Field_As escaped), oracle

@@ -136,11 +136,16 @@ object AsOfJoin {
     // the whole dim timeline becomes a plan literal — guard the driver and
     // the serialized-plan size like a broadcast threshold would, and drop
     // null keys/timestamps up front (they can never as-of-match an event;
-    // unfiltered they would NPE getLong below)
+    // unfiltered they would NPE getLong below). The dim frame is read
+    // twice (timeline collect + payload broadcast) — a derived dim (e.g. a
+    // distinct+explode over the events) would otherwise be computed twice,
+    // so cache it for the query's lifetime via a lazy local checkpoint
+    // (materialized by the collect below, reused by the broadcast build).
+    val dimsC = dims.localCheckpoint(eager = false)
     val maxTimelineRows = 1 << 20
-    val dimRows = dims
-      .select(col(dKey).cast("long"), tsOrdinal(dims, dTs))
-      .filter(col(dKey).isNotNull && tsOrdinal(dims, dTs).isNotNull)
+    val dimRows = dimsC
+      .select(col(dKey).cast("long"), tsOrdinal(dimsC, dTs))
+      .filter(col(dKey).isNotNull && tsOrdinal(dimsC, dTs).isNotNull)
       .limit(maxTimelineRows + 1)
       .collect()
     require(dimRows.length <= maxTimelineRows,
@@ -154,9 +159,9 @@ object AsOfJoin {
         GraftShim.expression(col(eKey).cast("long")),
         GraftShim.expression(tsOrdinal(events, eTs)),
         timeline)))
-    val d = dims.select(
+    val d = dimsC.select(
       col(dKey).cast("long").as("_dk") +:
-        tsOrdinal(dims, dTs).as("_dts") +:
+        tsOrdinal(dimsC, dTs).as("_dts") +:
         valCols.map(col): _*)
       .dropDuplicates("_dk", "_dts")
     matched.join(broadcast(d),

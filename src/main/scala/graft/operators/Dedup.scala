@@ -150,42 +150,66 @@ object Dedup {
     * selection (every member of a component dedups to the component's
     * MINIMUM id).
     *
-    * Iterative min-label propagation: each round every vertex takes the
-    * smallest label among itself and its neighbors; converges in
-    * O(component diameter) rounds. Each round is one shuffle-join of
-    * (edge, label) plus a groupBy — all fixed-width rows; `localCheckpoint`
-    * every round truncates the growing lineage (the classic Spark
-    * iterative-algorithm requirement). Convergence is detected by the
-    * monotone-decreasing `sum(label)` fixpoint, so no extra diff join.
-    * For graphs with huge diameters (rare for dedup clusters, which are
-    * near-cliques) the alternating small-star/large-star variant halves
-    * round counts; diameter ≤ 2 holds for LSH buckets by construction.
+    * Iterative min-label propagation with POINTER-JUMPING: each round every
+    * vertex takes the smallest label among itself and its neighbors, then
+    * shortcuts through its own label (`comp ← min(comp, comp(comp))` — the
+    * label is always a node REACHABLE from the vertex, so the label's label
+    * is reachable too), which contracts chain-shaped components in
+    * O(log diameter) rounds instead of O(diameter). All rounds move
+    * fixed-width (long, long) rows only.
+    *
+    * Round cost: ONE Spark action per round — the new labels are LAZILY
+    * `localCheckpoint`ed (lineage truncation without an extra
+    * materialization job) and the convergence probe (`sum(label)`, a
+    * monotone-decreasing fixpoint — no diff join) doubles as the action
+    * that computes and caches them; the previous round's checkpoint blocks
+    * are freed eagerly ([[org.apache.spark.sql.GraftShim.freeLocalCheckpoint]])
+    * so an N-round run holds one label snapshot, not N. RDD-level
+    * checkpoints never register with the session's CacheManager, so a
+    * later identical invocation can never be served from this one's
+    * state — every run recomputes from its inputs.
     *
     * @return (id, comp) — comp = min id reachable from id
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.GraftShim.freeLocalCheckpoint
     val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .union(pairs.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // one action seeds the fixpoint sum AND materializes both checkpoints
     var prevSum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
-      labels = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      val s = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+      // min over {self} ∪ neighbors as ONE union + groupBy — row-identical
+      // to the join + left-join + coalesce form (every id keeps its own
+      // label via the union arm) with one exchange fewer per round; under
+      // AQE each exchange is its own stage job, so exchange count is the
+      // round's fixed cost
+      val contrib = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("comp"))
+        .unionByName(labels)
+      val once = contrib.groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // pointer-jumping shortcut (self-join on the fresh labels; the
+      // identical aggregate subtree is computed once via exchange reuse)
+      val byId = once.select(col("id").as("_cid"), col("comp").as("_ccomp"))
+      val next = once.join(byId, once("comp") === byId("_cid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_ccomp"), col("comp"))).as("comp"))
+        .localCheckpoint(eager = false)
+      val s = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+      freeLocalCheckpoint(labels)
+      labels = next
       converged = s == prevSum
       prevSum = s
       i += 1
     }
+    freeLocalCheckpoint(edges)
     labels
   }
 
@@ -237,12 +261,18 @@ object Dedup {
         .unionByName(mins.select(col("u"), col("m").as("v")))
     }
 
+    import org.apache.spark.sql.GraftShim.freeLocalCheckpoint
     var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
-      col(bCol).cast("long").as("v"))).localCheckpoint()
+      col(bCol).cast("long").as("v"))).localCheckpoint(eager = false)
     // change detection: (count, Σ xxhash64(u,v)) — order-independent and
     // collision-resistant where the old (count, Σu, Σv) triple let distinct
     // edge sets alias (e.g. {(5,1),(4,2)} vs {(4,1),(5,2)}); decimal(38)
-    // sum keeps the aggregate exact under ANSI (long sum would overflow)
+    // sum keeps the aggregate exact under ANSI (long sum would overflow).
+    // The signature probe doubles as the action that computes and caches
+    // the round's LAZILY-checkpointed edge set — ONE Spark job per round
+    // (the former eager-checkpoint-then-probe shape ran two); the previous
+    // round's checkpoint blocks are freed eagerly (one snapshot held, not
+    // N rounds' worth).
     def sigOf(e: DataFrame) =
       e.agg(count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
@@ -250,8 +280,10 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      edges = canon(smallStar(canon(largeStar(edges)))).localCheckpoint()
-      val s = sigOf(edges)
+      val next = canon(smallStar(canon(largeStar(edges)))).localCheckpoint(eager = false)
+      val s = sigOf(next)
+      freeLocalCheckpoint(edges)
+      edges = next
       converged = s == sig
       sig = s
       i += 1
@@ -262,7 +294,8 @@ object Dedup {
       s"connectedComponentsStar did not converge within $maxIter rounds — " +
         "raise maxIter (rounds needed ≈ log₂ of the max component diameter)")
     // fixpoint = stars: non-roots point straight at their component min;
-    // roots never appear on the left side
+    // roots never appear on the left side (edges is the final round's
+    // materialized checkpoint — both reads below hit its cache)
     val labels = edges.select(col("u").as("id"), col("v").as("comp"))
       .unionByName(edges.select(col("v")).distinct()
         .select(col("v").as("id"), col("v").as("comp")))
@@ -366,35 +399,48 @@ object Dedup {
   }
 
   /** Covered word offsets of every NON-canonical flagged span occurrence:
-    * keeper = min(struct(id, pos)) per `keyCol` group, every other
-    * occurrence explodes to its n covered offsets. Shared by both strip
-    * variants (string key vs hash key).
+    * keeper = min(struct(id, pos)) per `keyCol` group as a WINDOW over the
+    * gram key — the spans frame arrives partitioned by that key from the
+    * detection join, so the window adds a sort but NO exchange (the former
+    * aggregate + join shape re-shuffled spans twice); every non-keeper
+    * occurrence explodes to its n covered offsets. Duplicate offsets from
+    * overlapping spans are fine — the consumer treats them as a set. Hot-
+    * gram behaviour is unchanged: a giant gram group already landed on one
+    * join partition in the old shape. Shared by both strip variants
+    * (string key vs hash key).
     */
   private def dropOffsetsFor(spans: DataFrame, keyCol: String, idCol: String,
                              n: Int): DataFrame = {
-    val keeper = spans.groupBy(col(keyCol))
-      .agg(min(struct(col(idCol), col("pos"))).as("k"))
-    spans.join(keeper, keyCol)
-      .filter(!(col(idCol) === col(s"k.$idCol") && col("pos") === col("k.pos")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    spans.withColumn("_k", min(struct(col(idCol), col("pos"))).over(w))
+      .filter(!(col(idCol) === col(s"_k.$idCol") && col("pos") === col("_k.pos")))
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("w"))
-      .distinct()
   }
 
-  /** Rebuild (id, clean_text) dropping the given (id, w) word offsets —
-    * the shared reassembly tail: per-doc sort_array over (pos, word)
-    * structs, no window, one groupBy, so a doc's words never serialize
-    * through a single global partition.
+  /** Rebuild (id, clean_text) dropping the given (id, w) word offsets.
+    * The drop set aggregates to ONE array per affected doc (collect_set —
+    * bounded by the doc's own word count) and re-attaches with a single
+    * join by id; the text is rebuilt per row with
+    * `array_except(1..n_words, drops)` + positional `transform` — word
+    * order preserved (array_except keeps first-array order), identical to
+    * the former explode + anti-join + collect/sort reassembly, which
+    * shuffled EVERY word of EVERY document twice where this moves each
+    * text once and only drop offsets otherwise. Docs whose every word is
+    * covered drop out (empty keep-set filter), as before.
     */
   private def stripByOffsets(df: DataFrame, idCol: String, textCol: String,
                              dropOffsets: DataFrame): DataFrame = {
-    val words = df
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p0", "word")))
-      .select(col(idCol), (col("_p0") + 1).as("w"), col("word"))
-    words.join(dropOffsets, Seq(idCol, "w"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("w"), col("word")))),
-        s => s.getField("word")), " ").as("clean_text"))
+    val drops = dropOffsets.groupBy(col(idCol))
+      .agg(collect_set(col("w")).as("_drop"))
+    df.join(drops, Seq(idCol), "left")
+      .select(col(idCol), split(col(textCol), " ").as("_ws"),
+        coalesce(col("_drop"), array().cast("array<int>")).as("_d"))
+      .select(col(idCol), col("_ws"),
+        array_except(sequence(lit(1), size(col("_ws"))), col("_d")).as("_keep"))
+      .filter(size(col("_keep")) > 0)
+      .select(col(idCol),
+        array_join(transform(col("_keep"),
+          i => element_at(col("_ws"), i)), " ").as("clean_text"))
   }
 
   /** Production variant of [[stripRepeatedSpans]] — the whole removal
@@ -412,12 +458,11 @@ object Dedup {
                                n: Int, maxOcc: Long = 0L): DataFrame = {
     val positioned = hashedGramPositions(df, idCol, textCol, n)
       .drop("gram") // removal needs positions, not text — the string never shuffles
-    // materialize once: spans feeds BOTH the keeper aggregate and the
-    // covered-offset branch (same localCheckpoint pattern as the string
-    // form / the CC loops)
+    // spans now has a SINGLE consumer (the window-keeper offset derivation)
+    // so no materialization barrier is needed — the whole strip runs as
+    // one streaming DAG
     val spans = positioned
       .join(hashedRepeatedSet(positioned, idCol, maxOcc), "_gh")
-      .localCheckpoint()
     stripByOffsets(df, idCol, textCol, dropOffsetsFor(spans, "_gh", idCol, n))
   }
 
@@ -447,11 +492,10 @@ object Dedup {
     */
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
-    // materialize detection once: spans feeds BOTH the keeper aggregate
-    // and the covered-offset branch — without this the full gram explode
-    // + gram-keyed aggregation runs twice (same localCheckpoint pattern
-    // as the CC loops)
-    val spans = crossDocRepeatedSpans(df, idCol, textCol, n).localCheckpoint()
+    // detection now has a SINGLE consumer (the window-keeper offset
+    // derivation) so no materialization barrier is needed — the whole
+    // strip runs as one streaming DAG
+    val spans = crossDocRepeatedSpans(df, idCol, textCol, n)
     stripByOffsets(df, idCol, textCol, dropOffsetsFor(spans, "gram", idCol, n))
   }
 

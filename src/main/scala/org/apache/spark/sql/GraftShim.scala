@@ -10,4 +10,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unpersist the RDD blocks behind a `localCheckpoint`ed DataFrame.
+    * Iterative operators checkpoint once per round; without this, every
+    * round's blocks linger until a driver GC lets the ContextCleaner at
+    * them — a long session (the 107-query bench, a multi-query job)
+    * accumulates dead block-manager entries. Safe once no live DataFrame
+    * reads the checkpoint: local checkpoints are MEMORY_AND_DISK-backed,
+    * so this frees storage rather than risking recompute-of-truncated-
+    * lineage failures.
+    */
+  def freeLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
 }
