@@ -49,11 +49,13 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, 0)
     // localCheckpoint: the window result feeds BOTH the totals collect and
     // the returned frame — without it the shuffle re-runs per downstream
-    // action, and the driver-baked offsets could meet a re-computed _lcum
+    // action, and the driver-baked offsets could meet a re-computed _lcum.
+    // LAZY: the totals collect right below is the materializing action, so
+    // no separate checkpoint job runs
     val local = df.select(col(idCol), eff.as("_eff"))
       .withColumn("_b", bucketCol)
       .withColumn("_lcum", sum(col("_eff")).over(w))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val totals = local.groupBy(col("_b")).agg(max(col("_lcum")).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var running = 0L

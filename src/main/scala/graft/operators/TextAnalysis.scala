@@ -23,8 +23,11 @@ object TextAnalysis {
     * the classic pre-tokenizer split (portable regex, same in RE2/Java).
     */
   val BpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  // fused match COUNT — value-identical to
+  // size(regexp_extract_all(text, BpeTokenRegex, 0)) without allocating
+  // every match string per row (see functions.RegexCount)
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenRegex), lit(0)))
+    graft.functions.RegexCount(text, BpeTokenRegex)
 
   // ------------------------------------------------------------ quality
   val Stopwords: Seq[String] =

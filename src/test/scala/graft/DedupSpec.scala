@@ -228,4 +228,26 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(capped(2L) == "x a b c d e other words here!")
   }
+
+  test("strip reassembly edges: fully-covered doc drops, overlap unions, spacing survives") {
+    // doc 2 is EXACTLY the repeated 3-gram → every word covered → row gone;
+    // doc 3's two occurrences overlap in doc 1's text ordering edge; doc 4
+    // carries a double space (split yields an empty word) and no repeats —
+    // reconstruction must return the text byte-identical
+    val docs = Seq(
+      (1L, "p q r tail words beyond"),
+      (2L, "p q r"),
+      (3L, "head p q r p q r close"),
+      (4L, "solo  double space text here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripRepeatedSpans(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "p q r tail words beyond") // canonical keeper (min doc, min pos)
+    assert(!got.contains(2L))                    // all words covered → dropped
+    assert(got(3L) == "head close")              // both occurrences stripped
+    assert(got(4L) == "solo  double space text here") // byte-identical rebuild
+    val hashed = Dedup.stripRepeatedSpansHashed(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(hashed == got)
+  }
 }
