@@ -326,30 +326,57 @@ object Dedup {
     * `n` words contribute nothing.
     */
   def crossDocRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                            n: Int): DataFrame = {
-    // fused gram construction (functions.WordGrams): the higher-order
-    // transform+slice formulation is CodegenFallback-interpreted per
-    // element — 5× slower measured on this query; short rows yield an
-    // empty array (posexplode then emits nothing)
-    val positioned = df
-      .select(col(idCol),
+                            n: Int): DataFrame =
+    flaggedSpans(gramPositions(df, idCol, textCol, n), "gram", idCol, 0L)
+      .select(col(idCol), col("pos"), col("gram"))
+
+  /** (id, pos, gram) — one row per word n-gram position. Fused gram
+    * construction (functions.WordGrams): the higher-order transform+slice
+    * formulation is CodegenFallback-interpreted per element — 5× slower
+    * measured; short rows yield an empty array (posexplode emits nothing).
+    */
+  private def gramPositions(df: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame =
+    df.select(col(idCol),
         posexplode(graft.functions.WordGrams(col(textCol), n)).as(Seq("_p0", "gram")))
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("gram"))
-    val repeated = positioned.groupBy(col("gram"))
-      .agg(countDistinct(col(idCol)).as("_docs"))
-      .filter(col("_docs") > 1)
-      .select(col("gram"))
-    positioned.join(repeated, "gram")
-      .select(col(idCol), col("pos"), col("gram"))
+
+  /** The shared span-flagging core: repeated-ness, the occurrence cap and
+    * the canonical keeper are all PER-GRAM-GROUP properties, so one
+    * window pass over the gram key computes them together —
+    *
+    *   - repeated ⇔ "more than one distinct doc" ⇔ min(id) ≠ max(id);
+    *   - cap: count(*) over the group ≤ maxOcc (0 disables);
+    *   - `_k` = min(struct(id, pos)) — the canonical occurrence.
+    *
+    * ONE gram explode + ONE exchange + ONE sort replace the former
+    * aggregate + flag-back join shape (TWO gram explodes and exchanges,
+    * plus the join). Skew: a hot gram's group buffers in one window task
+    * (spillable) — the same single-partition pressure the old join's
+    * probe fan-in had; the hashed face's `maxOcc` cap bounds it there.
+    * Unused window columns (e.g. `_k` in the detection-only queries) are
+    * pruned by Catalyst.
+    */
+  private def flaggedSpans(positioned: DataFrame, keyCol: String,
+                           idCol: String, maxOcc: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val rep = positioned
+      .withColumn("_mn", min(col(idCol)).over(w))
+      .withColumn("_mx", max(col(idCol)).over(w))
+      .withColumn("_occ", count(lit(1)).over(w))
+      .withColumn("_k", min(struct(col(idCol), col("pos"))).over(w))
+      .filter(col("_mn") =!= col("_mx"))
+    (if (maxOcc > 0L) rep.filter(col("_occ") <= maxOcc) else rep)
+      .drop("_mn", "_mx", "_occ")
   }
 
   /** Production variant of [[crossDocRepeatedSpans]] — identical output,
     * scale-safe shuffle. Two changes for 100 TB:
     *
     *  1. the shuffle key is `xxhash64(gram)` (8 bytes) instead of the raw
-    *     ~50-byte gram string — the aggregation and the flag-back join
-    *     both key on the hash; the gram text rides as payload only where
-    *     the output needs it. A hash collision merges two distinct grams:
+    *     ~50-byte gram string — the flagging window keys on the hash; the
+    *     gram text rides as payload only where the output needs it. A
+    *     hash collision merges two distinct grams:
     *     with the cap disabled that only ever ADDS flags (a unique gram
     *     can read as repeated — conservative over-removal); with a cap,
     *     merged occurrence counts can also push a legitimately-repeated
@@ -360,20 +387,17 @@ object Dedup {
     *     [[Similarity.embeddingNearDupPairs]]'s `maxBucket`): a gram with
     *     more than `maxOcc` occurrences corpus-wide is dropped from the
     *     repeated set entirely, so one ubiquitous boilerplate gram cannot
-    *     fan the flag-back join out by its full occurrence count. The
-    *     count itself is skew-safe (map-side partial aggregation); the
-    *     cap protects the JOIN. Audit what the cap dropped with
+    *     fan the downstream removal out by its full occurrence count.
+    *     Audit what the cap dropped with
     *     [[spanGramStats]] before relying on completeness; `maxOcc = 0`
     *     disables the cap (exact parity with the string-key form —
     *     DedupSpec asserts row identity).
     */
   def crossDocRepeatedSpansHashed(df: DataFrame, idCol: String,
                                   textCol: String, n: Int,
-                                  maxOcc: Long = 0L): DataFrame = {
-    val positioned = hashedGramPositions(df, idCol, textCol, n)
-    positioned.join(hashedRepeatedSet(positioned, idCol, maxOcc), "_gh")
+                                  maxOcc: Long = 0L): DataFrame =
+    flaggedSpans(hashedGramPositions(df, idCol, textCol, n), "_gh", idCol, maxOcc)
       .select(col(idCol), col("pos"), col("gram"))
-  }
 
   /** (id, pos, gram, _gh=xxhash64(gram)) — shared spine of the hashed
     * span ops (callers prune `gram` before any shuffle that must not
@@ -386,36 +410,18 @@ object Dedup {
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("gram"),
         xxhash64(col("gram")).as("_gh"))
 
-  /** Distinct `_gh` of grams in >1 doc, minus those over the occurrence
-    * cap (`maxOcc = 0` disables the cap).
-    */
-  private def hashedRepeatedSet(positioned: DataFrame, idCol: String,
-                                maxOcc: Long): DataFrame = {
-    val counted = positioned.groupBy(col("_gh"))
-      .agg(countDistinct(col(idCol)).as("_docs"), count(lit(1)).as("_occ"))
-      .filter(col("_docs") > 1)
-    (if (maxOcc > 0L) counted.filter(col("_occ") <= maxOcc) else counted)
-      .select(col("_gh"))
-  }
-
   /** Covered word offsets of every NON-canonical flagged span occurrence:
-    * keeper = min(struct(id, pos)) per `keyCol` group as a WINDOW over the
-    * gram key — the spans frame arrives partitioned by that key from the
-    * detection join, so the window adds a sort but NO exchange (the former
-    * aggregate + join shape re-shuffled spans twice); every non-keeper
-    * occurrence explodes to its n covered offsets. Duplicate offsets from
-    * overlapping spans are fine — the consumer treats them as a set. Hot-
-    * gram behaviour is unchanged: a giant gram group already landed on one
-    * join partition in the old shape. Shared by both strip variants
+    * the keeper `_k` arrives precomputed from [[flaggedSpans]]' single
+    * window pass; every non-keeper occurrence explodes to its n covered
+    * offsets. Duplicate offsets from overlapping spans are fine — the
+    * consumer treats them as a set. Shared by both strip variants
     * (string key vs hash key).
     */
-  private def dropOffsetsFor(spans: DataFrame, keyCol: String, idCol: String,
-                             n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
-    spans.withColumn("_k", min(struct(col(idCol), col("pos"))).over(w))
+  private def dropOffsetsFor(spans: DataFrame, idCol: String,
+                             n: Int): DataFrame =
+    spans
       .filter(!(col(idCol) === col(s"_k.$idCol") && col("pos") === col("_k.pos")))
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("w"))
-  }
 
   /** Rebuild (id, clean_text) dropping the given (id, w) word offsets.
     * The drop set aggregates to ONE array per affected doc (collect_set —
@@ -456,14 +462,13 @@ object Dedup {
     */
   def stripRepeatedSpansHashed(df: DataFrame, idCol: String, textCol: String,
                                n: Int, maxOcc: Long = 0L): DataFrame = {
-    val positioned = hashedGramPositions(df, idCol, textCol, n)
-      .drop("gram") // removal needs positions, not text — the string never shuffles
-    // spans now has a SINGLE consumer (the window-keeper offset derivation)
-    // so no materialization barrier is needed — the whole strip runs as
-    // one streaming DAG
-    val spans = positioned
-      .join(hashedRepeatedSet(positioned, idCol, maxOcc), "_gh")
-    stripByOffsets(df, idCol, textCol, dropOffsetsFor(spans, "_gh", idCol, n))
+    // removal needs positions, not text — the gram string never shuffles
+    // (dropped before the one flagging window); detection + cap + keeper
+    // all come out of that single pass, so the whole strip is one
+    // streaming DAG with no joins on the gram key at all
+    val spans = flaggedSpans(
+      hashedGramPositions(df, idCol, textCol, n).drop("gram"), "_gh", idCol, maxOcc)
+    stripByOffsets(df, idCol, textCol, dropOffsetsFor(spans, idCol, n))
   }
 
   /** Truncation audit for [[crossDocRepeatedSpansHashed]]'s `maxOcc` cap
@@ -492,11 +497,11 @@ object Dedup {
     */
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
-    // detection now has a SINGLE consumer (the window-keeper offset
-    // derivation) so no materialization barrier is needed — the whole
-    // strip runs as one streaming DAG
-    val spans = crossDocRepeatedSpans(df, idCol, textCol, n)
-    stripByOffsets(df, idCol, textCol, dropOffsetsFor(spans, "gram", idCol, n))
+    // detection + keeper election come out of flaggedSpans' single window
+    // pass — the whole strip is one streaming DAG with no joins on the
+    // gram key at all
+    val spans = flaggedSpans(gramPositions(df, idCol, textCol, n), "gram", idCol, 0L)
+    stripByOffsets(df, idCol, textCol, dropOffsetsFor(spans, idCol, n))
   }
 
   /** Word n-gram set (distinct) of a text column, '|'-joined grams. */
