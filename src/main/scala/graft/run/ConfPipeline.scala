@@ -189,21 +189,39 @@ object ConfPipeline {
             case None => df
           }
         case Some("stdin") =>
-          // in_stdin (in_stdin.c:88-180): read stdin to EOF, one record
-          // per line. The reference's default mode consumes a JSON-map
-          // stream — mirrored by defaulting Parser to the shipped `json`
-          // definition when the corpus has one; an explicit Parser wins,
-          // and without either the raw line frame passes through.
+          // in_stdin (in_stdin.c:88-180): read stdin to EOF. The
+          // reference's DEFAULT mode consumes a newline-AGNOSTIC stream
+          // of JSON values (flb_pack_json_state, multiple=TRUE,
+          // in_stdin.c:117-148) — pretty-printed or concatenated values
+          // are records too — so with no explicit Parser the byte stream
+          // splits through the same stream tokenizer as the serial face
+          // (Serial.jsonStream: PART keeps the complete prefix, INVAL
+          // fails the buffer) and each value json-parses; an explicit
+          // Parser handles newline-split lines (in_stdin.c:150-168).
           val tag = s.get("Tag").getOrElse("stdin.0")
-          val df = graft.sources.StdinSource(
-            spark, graft.sources.StdinSource.stream(), tag)
-          inputParser(s, default = parsers.get("json")) match {
-            case Some(p) =>
-              val parsed = ParserFilter.flatten("line", p)(df)
-              if (p.timeKey.isDefined && p.timeFormat.isDefined)
-                parsed.withColumn("ts", p.eventTime(col("line")))
-              else parsed
-            case None => df
+          def flattenWith(df: org.apache.spark.sql.DataFrame,
+                          p: graft.parsers.ParserDef) = {
+            val parsed = ParserFilter.flatten("line", p)(df)
+            if (p.timeKey.isDefined && p.timeFormat.isDefined)
+              parsed.withColumn("ts", p.eventTime(col("line")))
+            else parsed
+          }
+          (inputParser(s), parsers.get("json")) match {
+            case (Some(p), _) => // explicit Parser: per-line records
+              flattenWith(graft.sources.StdinSource(
+                spark, graft.sources.StdinSource.stream(), tag), p)
+            case (None, Some(json)) => // default JSON-value-stream mode
+              import spark.implicits._
+              val text = new String(
+                graft.sources.StdinSource.stream().readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              val values = graft.sources.Serial.jsonStream(text)
+              flattenWith(values.toDF("line")
+                .withColumn("file", lit("stdin"))
+                .withColumn("tag", lit(tag)), json)
+            case (None, None) => // no parser anywhere: raw line frame
+              graft.sources.StdinSource(
+                spark, graft.sources.StdinSource.stream(), tag)
           }
         case Some("tcp") | Some("syslog") =>
           // in_tcp (tcp_conn.c) / in_syslog (syslog_conf.c:48-68): bind

@@ -73,17 +73,22 @@ object StdinSource {
     * then exits the engine), one record per newline-delimited segment in
     * the engine's (line, file, tag) frame, file = "stdin". Parsing is
     * the conf surface's job: the reference's default mode consumes a
-    * stream of JSON maps (`flb_pack_json_state`, in_stdin.c:117-148) —
-    * mirrored by defaulting `Parser` to the shipped `json` definition —
-    * and a configured Parser handles each line instead
-    * (in_stdin.c:150-168).
+    * newline-AGNOSTIC stream of JSON values (`flb_pack_json_state`,
+    * multiple=TRUE, in_stdin.c:117-148) — the conf surface routes the
+    * no-Parser default through `Serial.jsonStream` over the raw text,
+    * not through this line splitter — and a configured Parser handles
+    * each LINE from here instead (in_stdin.c:150-168).
     */
   def apply(spark: SparkSession, in: java.io.InputStream = System.in,
             tag: String = "stdin.0"): DataFrame = {
     import spark.implicits._
     val text = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    text.split("\n", -1).toIndexedSeq.filter(_.nonEmpty)
-      .toDF("line")
+    // interior blank lines are records (the repo-wide tcp lineRows
+    // convention); only the one trailing newline's empty segment is
+    // stripped
+    val segs = text.split("\n", -1).toIndexedSeq
+    val lines = if (segs.nonEmpty && segs.last.isEmpty) segs.dropRight(1) else segs
+    lines.toDF("line")
       .withColumn("file", lit("stdin"))
       .withColumn("tag", lit(tag))
   }

@@ -134,12 +134,20 @@ object NetworkSources {
       import scala.jdk.CollectionConverters._
       var deferred = 0L
       val payloads = conns.iterator().asScala.flatMap { c =>
-        // read `closed` BEFORE snapshotting: a close racing in after an
-        // open-state read only costs us a flagged tail, never a torn line
+        // read `closed` BEFORE snapshotting (a close racing in after an
+        // open-state read must not tear a line) … and AGAIN after: if the
+        // peer closed between the two reads, the buffer is FINAL — a
+        // closed connection's unterminated tail is a complete record
+        // (the engine's strip-one-newline convention), and deferring it
+        // here would lose it for good since the listener closes right
+        // after this single drain. Re-snapshot so close-racing final
+        // bytes are included.
         val isClosed = c.closed
-        val snap = c.snapshot()
+        var snap = c.snapshot()
+        val closedNow = c.closed
+        if (closedNow && !isClosed) snap = c.snapshot()
         if (snap.isEmpty) None
-        else if (isClosed) Some(snap)
+        else if (closedNow) Some(snap)
         else {
           val cut = snap.lastIndexOf('\n'.toByte) + 1
           deferred += snap.length - cut

@@ -75,6 +75,40 @@ class LocalSourcesSpec extends AnyFunSuite {
     assert(got == Seq(("a 1", "stdin", "si.0"), ("b 2", "stdin", "si.0")))
   }
 
+  test("stdin: interior blank lines are records (tcp lineRows convention)") {
+    val in = new java.io.ByteArrayInputStream("a\n\nb\n".getBytes("UTF-8"))
+    val got = StdinSource(spark, in, "si.b").select("line").as[String].collect().toSeq
+    assert(got == Seq("a", "", "b"))
+  }
+
+  test("conf stdin default mode is a newline-agnostic JSON-value stream (in_stdin.c:117-148)") {
+    // one pretty-printed value across lines + two concatenated on one
+    // line + an EOF-truncated tail (PART keeps the complete prefix)
+    val json = "{\n  \"log\": \"keep A\",\n  \"stream\": \"stdout\"\n}\n" +
+      """{"log":"keep B","stream":"stdout"} {"log":"drop C","stream":"stderr"}""" +
+      "\n{\"log\":\"trunca"
+    StdinSource.overrideStream = Some(new java.io.ByteArrayInputStream(json.getBytes("UTF-8")))
+    try {
+      val conf =
+        """[INPUT]
+          |    Name stdin
+          |    Tag  si.stream
+          |
+          |[FILTER]
+          |    Name   grep
+          |    Match  *
+          |    Regex  log ^keep
+          |""".stripMargin
+      val parsers =
+        """[PARSER]
+          |    Name   json
+          |    Format json
+          |""".stripMargin
+      val out = graft.run.ConfPipeline.load(spark, conf, parsers).filtered
+      assert(out.select("log").as[String].collect().toSet == Set("keep A", "keep B"))
+    } finally StdinSource.overrideStream = None
+  }
+
   test("conf surface: [INPUT] stdin defaults to the json parser (in_stdin default JSON mode)") {
     val json =
       """{"log":"keep 1","stream":"stdout","time":"x"}

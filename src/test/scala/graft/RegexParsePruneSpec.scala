@@ -69,6 +69,32 @@ class RegexParsePruneSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("inline multi-ordinal consumers are NOT rewritten (CSE keeps one match)") {
+    // hand-written double getField with NO alias barrier: two equal inline
+    // parse copies at DIFFERENT ordinals. Codegen subexpression
+    // elimination runs the shared parse once; rewriting to two distinct
+    // RegexParseFields would run the regex once PER FIELD — the rule must
+    // leave this shape alone (and values must be unchanged either way).
+    val df = Seq((0, "alpha 200 0.5 ok"), (1, "beta 404 x"))
+      .toDF("idx", "line").repartition(2)
+    val two = df.select(col("idx"),
+      RegexParse(col("line"), pattern, fields).getField("host").as("host"),
+      RegexParse(col("line"), pattern, fields).getField("code").as("code"))
+    val plan = two.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("regexparsefield"),
+      s"multi-ordinal inline consumer was rewritten:\n$plan")
+    assert(two.orderBy("idx").as[(Int, String, Option[Long])].collect().toSeq ==
+      Seq((0, "alpha", Some(200L)), (1, "beta", Some(404L))))
+    // same-ordinal duplicates remain eligible: both copies read `code`
+    val same = df.select(col("idx"),
+      RegexParse(col("line"), pattern, fields).getField("code").as("c1"),
+      RegexParse(col("line"), pattern, fields).getField("code").as("c2"))
+    assert(same.queryExecution.executedPlan.toString.toLowerCase
+      .contains("regexparsefield"))
+    assert(same.orderBy("idx").as[(Int, Option[Long], Option[Long])].collect().toSeq ==
+      Seq((0, Some(200L), Some(200L)), (1, Some(404L), Some(404L))))
+  }
+
   test("grep-pushdown filter shape (the headline hot path) gets the pruned parse") {
     import graft.operators.Grep
     import graft.run.{Pipeline, PipelineSpec}
