@@ -235,31 +235,76 @@ object Dedup {
     * the component) — shares its oracle (dedup_cc_star) and an
     * equivalence spec.
     */
+  private def canonStar(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** Attach larger neighbors to min(Γ(u) ∪ {u}): emit (v, m(u)) for v > u.
+    *
+    * m(u) arrives via `min(v) OVER (PARTITION BY u)` — ONE exchange + sort
+    * of the directed edges, where the former `groupBy(u).agg(min)` +
+    * join-back shape paid a second full exchange of `dir` for the join
+    * probe (the aggregate's exchange carries only partial-agged group
+    * rows, so the two subtrees never merge into a reused exchange). Rows
+    * and values are identical: the inner join attached each group's `mn`
+    * to every member (aggregate keys ⊆ dir keys — lossless), exactly what
+    * the window computes. Skew class unchanged — a hot node's neighbor
+    * list occupies one (spillable) window group, the same single-task
+    * fan-in the SMJ probe had.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    dir.withColumn("mn", min(col("v")).over(w))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+  }
+
+  /** Attach smaller neighbors AND u itself to m = min(Γ≤(u) ∪ {u}); input
+    * canonical (u > v), so every neighbor is already smaller. Same
+    * window-for-join-back trade as [[largeStar]]; the "one (u, m) row per
+    * u" arm (the aggregate's own output in the old shape) falls out of
+    * the SAME sorted window pass as `row_number() == 1` — with (u, v)
+    * rows distinct by canon, the first row by v IS the group minimum.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u")).orderBy(col("v"))
+    val wAll = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val marked = e
+      .withColumn("m", min(col("v")).over(wAll))
+      .withColumn("rn", row_number().over(w))
+    marked.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(marked.filter(col("rn") === 1)
+        .select(col("u"), col("m").as("v")))
+  }
+
+  /** Canonicalize + dedup WITHOUT a dedicated exchange pair: repartition
+    * by `u` alone and dropDuplicates on (u, v) — HashPartitioning(u)
+    * satisfies the aggregate's ClusteredDistribution(u, v) (equal (u, v)
+    * ⇒ equal u ⇒ colocated) AND the following star window's
+    * ClusteredDistribution(u), so the dedup aggregate and the window
+    * share ONE exchange where `distinct()` + window paid two ((u,v)-hash
+    * then u-hash, back to back). Trade: the shuffle carries pre-dedup
+    * rows (distinct()'s partial aggregate would shrink them first) —
+    * star outputs carry bounded duplication (one emit per directed edge),
+    * so the fold wins on exchange count.
+    */
+  private def canonInto(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .repartition(col("u"))
+      .dropDuplicates("u" :: "v" :: Nil)
+
+  /** One large-star/small-star round — exposed for plan capture and specs. */
+  private[graft] def starRound(e: DataFrame): DataFrame =
+    canonStar(smallStar(canonInto(largeStar(e))))
+
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 30): DataFrame = {
-    def canon(e: DataFrame): DataFrame =
-      e.filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .distinct()
-
-    // attach larger neighbors to min(Γ(u) ∪ {u}): emit (v, m(u)) for v > u
-    def largeStar(e: DataFrame): DataFrame = {
-      val dir = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      dir.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-    }
-
-    // attach smaller neighbors AND u itself to min(Γ≤(u) ∪ {u}); input
-    // canonical (u > v), so every neighbor here is already smaller
-    def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      e.join(mins, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(mins.select(col("u"), col("m").as("v")))
-    }
+    def canon(e: DataFrame): DataFrame = canonStar(e)
 
     import org.apache.spark.sql.GraftShim.freeLocalCheckpoint
     var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
@@ -280,7 +325,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = canon(smallStar(canon(largeStar(edges)))).localCheckpoint(eager = false)
+      val next = starRound(edges).localCheckpoint(eager = false)
       val s = sigOf(next)
       freeLocalCheckpoint(edges)
       edges = next

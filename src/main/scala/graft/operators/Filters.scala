@@ -32,10 +32,29 @@ object Grep {
     * rlike → false); Exclude needs the three-way null/match/no-match
     * split, costing a second reference.
     */
+  /** Regex metacharacters (java.util.regex). A pattern containing none of
+    * these matches literally under unanchored find.
+    */
+  private val Meta: Set[Char] = "\\^$.|?*+()[]{}".toSet
+
+  /** `rlike` ⇔ unanchored java-regex find; for metacharacter-free patterns
+    * the search collapses to codegen'd `StartsWith`/`Contains` — identical
+    * null semantics (null input → null), no regex machinery per row. The
+    * hot headline rule `^5` becomes one `startsWith` byte compare.
+    * `$`-anchored forms are deliberately NOT folded: default-mode `$` also
+    * matches before a trailing line terminator (`"abc$"` finds in
+    * `"abc\n"`), which `endsWith` cannot mirror.
+    */
+  private[graft] def searchColumn(c: Column, pattern: String): Column =
+    if (pattern.nonEmpty && pattern.head == '^' && pattern.tail.forall(!Meta(_)))
+      c.startsWith(pattern.tail)
+    else if (pattern.forall(!Meta(_))) c.contains(pattern)
+    else c.rlike(pattern)
+
   def keepPredicate(rules: Seq[Rule], field: String => Column): Column =
     rules.foldRight(lit(true)) { (rule, rest) =>
       val c = field(rule.field)
-      val matched = c.rlike(rule.pattern)
+      val matched = searchColumn(c, rule.pattern)
       rule match {
         case Regex(_, _) =>
           matched <=> lit(true) // null (missing key) and no-match both drop

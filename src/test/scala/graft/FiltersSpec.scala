@@ -24,6 +24,22 @@ class FiltersSpec extends AnyFunSuite {
     assert(kept == Set(1, 2))
   }
 
+  test("grep searchColumn ≡ rlike over folded and unfolded pattern shapes") {
+    // values exercise null, empty, trailing newline (the `$` trap that
+    // forbids an endsWith fold), mid-string and prefix positions
+    val vals = Seq(Some("5"), Some("500"), Some("x500"), Some("500\n"),
+      Some("5\n00"), Some(""), Some("\n5"), None)
+    val df = vals.toDF("v")
+    // folded: ^literal → startsWith, bare literal → contains;
+    // unfolded: metacharacter patterns keep rlike
+    val pats = Seq("^5", "5", "50", "^500", "", "^", "^5.0", "5$", "^5$", "[0-9]+", "5|x")
+    for (p <- pats) {
+      val got = df.select(Grep.searchColumn(col("v"), p)).collect().map(_.get(0))
+      val want = df.select(col("v").rlike(p)).collect().map(_.get(0))
+      assert(got.toSeq == want.toSeq, s"pattern '$p'")
+    }
+  }
+
   test("grep Exclude rule: drop match, keep non-match, keep missing key") {
     val df = Seq(
       (1, Some("100")), (2, Some("555")), (3, None)
