@@ -42,6 +42,25 @@ object RoundPlan {
             .unionByName(mins.select(col("u"), col("m").as("v")))
         }
         canon(smallStar(canon(largeStar(edges)))).explain("formatted")
+      case "neardup-verify" =>
+        // the curate_neardup candidate-verify subplan (invisible in the
+        // final explain — CC consumes it eagerly before the query returns)
+        val base = d.select(col("doc_id").as("id"),
+          graft.sources.TokenTable.tokensFor(col("doc_id") - col("doc_id") % 2).as("tokens"))
+        val cand = graft.operators.Dedup.lshCandidatePairs(
+          base, "id", "tokens", numHashes = 8, rowsPerBand = 2)
+        cand
+          .join(base.select(col("id").as("id_a"), col("tokens").as("ta")), Seq("id_a"))
+          .join(base.select(col("id").as("id_b"), col("tokens").as("tb")), Seq("id_b"))
+          .filter(col("ta") === col("tb"))
+          .select(col("id_a"), col("id_b"))
+          .explain("formatted")
+      case "multiline" =>
+        val lines = d.select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("i0", "w")))
+          .select(col("doc_id"), (col("i0") + 1).as("line_no"), col("w"))
+        graft.operators.Multiline.assemble(lines, "doc_id", "line_no", "w", "^the$")
+          .explain("formatted")
       case other  => sys.error(s"unknown round: $other")
     }
     spark.stop()
