@@ -101,6 +101,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("star round body: window passes, no joins, bounded exchanges (r7 plan pin)") {
+    // the round-7 rewrite attaches each star's group minimum via a window
+    // over u instead of groupBy+join-back; a regression to the join shape
+    // shows up as Join nodes and extra exchanges in the round plan
+    val edges = Seq((5L, 1L), (4L, 2L), (9L, 4L), (7L, 5L)).toDF("u", "v")
+    val plan = Dedup.starRound(edges).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"star round must be join-free:\n$plan")
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows >= 2, s"expected the two star window passes:\n$plan")
+    // per plan section: dir-by-u, folded dedup+window, trailing distinct —
+    // plus the canon-into repartition; anything above 5 is a new shuffle
+    plan.split("== Initial Plan ==").foreach { s =>
+      val ex = "Exchange hashpartitioning".r.findAllIn(s).size
+      assert(ex <= 5, s"star round grew to $ex exchanges:\n$s")
+    }
+  }
+
   test("connectedComponentsStar ≡ connectedComponents ≡ union-find; converges on a 300-node PATH") {
     // same mixed graph as above: star variant must agree with both
     val edges = (0L until 200L).flatMap { i =>
